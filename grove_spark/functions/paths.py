@@ -1,0 +1,151 @@
+"""Path language: a dotted-path subset of JMESPath compiled to Columns.
+
+The reference addresses fields inside schemaless dicts with JMESPath at
+runtime (grove/processors/extract_paths.py:86, grove/helpers/parsing.py:51-140).
+In a typed DataFrame world the same configs compile *once* into Catalyst
+column expressions, so the hot path stays inside whole-stage codegen.
+
+Supported path grammar (covers every path used by the reference's shipped
+configs and fixtures): dot-separated segments, with single-quoted segments
+allowed to contain literal dots — ``a.'b.c'.d`` -> segments ``a``, ``b.c``,
+``d`` (mirrors grove/helpers/parsing.py:51-73 behaviorally).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List[str]:
+    """Split ``path`` on ``delimiter``, honouring quoted segments.
+
+    Behavioral twin of the reference's tokenizer (grove/helpers/parsing.py:51-73):
+    ``"a.'b.c'.d"`` -> ``["a", "b.c", "d"]``.
+    """
+    segments: List[str] = []
+    current: List[str] = []
+    in_quote = False
+    for ch in path:
+        if ch == quote:
+            in_quote = not in_quote
+            continue
+        if ch == delimiter and not in_quote:
+            segments.append("".join(current))
+            current = []
+            continue
+        current.append(ch)
+    segments.append("".join(current))
+    return [s for s in segments if s != ""]
+
+
+def path_col(path: str) -> Column:
+    """Compile a dotted path into a (possibly nested) column reference."""
+    parts = quote_aware_split(path)
+    col = F.col("`%s`" % parts[0].replace("`", ""))
+    for part in parts[1:]:
+        col = col.getField(part)
+    return col
+
+
+def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
+    """Walk ``schema`` along ``path``; None if the path doesn't resolve."""
+    parts = quote_aware_split(path)
+    current: T.DataType = schema
+    for part in parts:
+        if isinstance(current, T.MapType):
+            current = current.valueType
+            continue
+        if not isinstance(current, T.StructType):
+            return None
+        try:
+            current = current[part].dataType
+        except KeyError:
+            return None
+    return current
+
+
+def truthy(col: Column, dtype: T.DataType | None) -> Column:
+    """Python-truthiness as a boolean Column, per the value's Spark type.
+
+    The reference picks the first *truthy* source match
+    (``if value: break``, grove/processors/extract_paths.py:85-88), so
+    ``''``, ``0``, ``false``, ``[]``, ``{}`` and null all lose. A plain
+    ``coalesce`` would treat them as wins; this keeps parity.
+    """
+    if dtype is None:
+        return F.lit(False)
+    base = col.isNotNull()
+    if isinstance(dtype, T.StringType):
+        return base & (col != F.lit(""))
+    if isinstance(dtype, T.BooleanType):
+        return base & col
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return base & (F.size(col) > 0)
+    if isinstance(dtype, T.NumericType):
+        return base & (col != F.lit(0))
+    return base  # structs / binary / timestamps: non-null is truthy
+
+
+def first_truthy(cols_with_types: List[tuple[Column, T.DataType | None]]) -> Column:
+    """First-truthy-wins chain (the extract_paths source resolution rule)."""
+    if not cols_with_types:
+        return F.lit(None).cast("string")
+    expr = F.lit(None)
+    for col, dtype in reversed(cols_with_types):
+        expr = F.when(truthy(col, dtype), col).otherwise(expr)
+    return expr
+
+
+def assemble_nested(values: Dict[str, Column]) -> List[Column]:
+    """Turn ``{"a.b": col1, "a.c": col2, "d": col3}`` into
+    ``[struct(col1 AS b, col2 AS c) AS a, col3 AS d]``.
+
+    This is the Column-expression analog of the reference's recursive
+    dict builder ``update_path`` (grove/helpers/parsing.py:76-140): dotted
+    destinations create nested structs.
+    """
+    tree: Dict[str, Any] = {}
+    for path, col in values.items():
+        parts = quote_aware_split(path)
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"path conflict at {path!r}")
+        node[parts[-1]] = col
+
+    def build(node: Any) -> Column:
+        if isinstance(node, dict):
+            return F.struct(*[build(v).alias(k) for k, v in node.items()])
+        return node
+
+    return [build(v).alias(k) for k, v in tree.items()]
+
+
+def drop_nested_field(df: DataFrame, path: str) -> DataFrame:
+    """Drop a (possibly nested) field — the filter_paths primitive.
+
+    Top-level: ``df.drop``. Nested: ``Column.dropFields`` on the root
+    struct (grove/processors/filter_paths.py:20-44 semantics: silently a
+    no-op when the path is absent).
+    """
+    parts = quote_aware_split(path)
+    root = parts[0]
+    if root not in df.columns:
+        return df
+    if len(parts) == 1:
+        return df.drop(root)
+    if resolve_type(df.schema, path) is None:
+        return df
+    # Spark structs can't be empty: dropping the last field of the parent
+    # struct drops the parent instead (the reference leaves an empty dict,
+    # which has no typed equivalent).
+    parent_path = ".".join(f"'{p}'" if "." in p else p for p in parts[:-1])
+    parent_t = resolve_type(df.schema, parent_path)
+    if isinstance(parent_t, T.StructType) and len(parent_t.fields) == 1:
+        return drop_nested_field(df, parent_path)
+    return df.withColumn(root, F.col(root).dropFields(".".join(f"`{p}`" for p in parts[1:])))
