@@ -1,0 +1,247 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, over synthesized ``sequences`` fixtures (BASELINE.json input
+shape) sized to the sf of $SPARK_GRAFT_SF_DIR:
+
+1. **N -> 4N scaling** of the full compute plan (parse -> content-hash
+   dedup vs seen-state -> enrich -> route -> telemetry + noop sink):
+   local[2] vs local[8] (primary pair) and local[8] vs local[C]
+   (secondary). The noop sink executes every column of every routed row
+   with no disk write — on one box the disk and hypervisor do not scale
+   with threads, so this is the transferable proxy for N vs 4N
+   *executors*. A raw-CPU host calibration (multiprocessing md5) is
+   reported alongside: this VM itself only reaches ~0.7 efficiency from
+   8 -> 32 threads, bounding anything Spark can show there.
+2. **end-to-end throughput incl. salted repartition + partitioned
+   parquet sink write** at local[C] on a smaller fixture.
+3. headline catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("GROVE_SPARK_DRIVER_MEM", "6g")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_ROWS_PER_SF = 20_000_000   # sf0.1 -> 2M rows (compute job ~30 s at 2 cores)
+E2E_ROWS_PER_SF = 5_000_000        # sf0.1 -> 500k rows (write job ~30 s)
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+HEADLINE = [
+    "route_counts", "sink_telemetry", "split_path", "dedup_exact",
+    "zip_paths", "window_topk", "quality_score", "ann_bruteforce",
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def build_session(cpus: int):
+    from grove_spark.session import get_spark
+
+    return get_spark(
+        f"bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 4)
+    )
+
+
+def fixture(tag: str, n_rows: int) -> dict:
+    from grove_spark.fixtures.generator import write_fixture
+
+    return write_fixture(os.path.join(CACHE_ROOT, tag), max(n_rows, 1000))
+
+
+def _seen_state(spark):
+    """Non-empty boundary seen-state (one stale hash) so the broadcast
+    anti-join — and therefore the per-row canonical md5 — stays in the
+    executed plan (an empty build side would let AQE elide it)."""
+    return spark.createDataFrame(
+        [("1970-01-01 00:00:00", "0" * 32)], "pointer string, hash string"
+    )
+
+
+def load(spark, paths):
+    return (
+        spark.read.parquet(paths["sequences"]),
+        spark.read.parquet(paths["sources"]),
+        spark.read.parquet(paths["sinks"]),
+    )
+
+
+def build_compute(spark, paths, n_partitions: int):
+    """The measured plan: full pipeline into a noop sink — every routed
+    row fully computed (parse fields, _grove envelope, content hash,
+    routing), no disk. Built ONCE per level: at the target scale
+    (10^12 rows) driver-side planning amortizes to zero, so trials time
+    pure execution."""
+    from grove_spark.plans.pipeline import build_pipeline
+
+    seq, sources, sinks = load(spark, paths)
+    return build_pipeline(
+        seq, sources, sinks, n_partitions=n_partitions, observe=False,
+        seen_state=_seen_state(spark), repartition=False,
+    )
+
+
+def compute_run(spark, paths, n_partitions: int, res=None) -> float:
+    if res is None:
+        res = build_compute(spark, paths, n_partitions)
+    t0 = time.perf_counter()
+    res.routed.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def best_of(spark, paths, n_partitions: int, trials: int, warmups: int = 2) -> tuple[float, int]:
+    """Min over trials after warm-ups: the JVM heap warms lazily on this
+    box (fresh pages fault at ~15 MB/s) and co-tenant bursts contaminate
+    single trials; the best trial measures the job itself."""
+    res = build_compute(spark, paths, n_partitions)
+    rows = sum(r["rows"] for r in res.counts.collect())
+    for _ in range(warmups):
+        compute_run(spark, paths, n_partitions, res)
+    walls = [compute_run(spark, paths, n_partitions, res) for _ in range(trials)]
+    return min(walls), rows
+
+
+def _md5_burn(n):
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return h[0]
+
+
+def host_calibration() -> float:
+    """Raw-CPU 8->32-thread efficiency of this host via multiprocessing
+    md5 — the ceiling for ANY 4x thread scaling measured here."""
+    import multiprocessing as mp
+
+    burn = _md5_burn
+
+    def thr(workers, per=1_500_000):
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(burn, [per] * workers)
+        return workers * per / (time.perf_counter() - t0)
+
+    thr(8)  # warm
+    return round((thr(32) / thr(8)) / 4.0, 3)
+
+
+def e2e_run(spark, paths, n_partitions: int) -> tuple[float, int]:
+    """Pipeline incl. salted repartition + partitioned per-sink parquet
+    write (dictionary encoding off: token values are near-uniform ints,
+    the dictionary costs ~2x CPU for ~2x size win — CPU wins here)."""
+    from pyspark.sql import functions as F
+
+    from grove_spark.plans.pipeline import build_pipeline
+
+    seq, sources, sinks = load(spark, paths)
+    out_dir = tempfile.mkdtemp(prefix="grove_bench_")
+    t0 = time.perf_counter()
+    res = build_pipeline(
+        seq, sources, sinks, n_partitions=n_partitions, observe=True,
+        seen_state=_seen_state(spark),
+    )
+    (
+        res.routed.withColumn("date", F.to_date("event_time"))
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("descriptor", "connector", "date")
+        .parquet(out_dir)
+    )
+    rows = int(res.observed.get["processed"])
+    wall = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return wall, rows
+
+
+def main() -> None:
+    sf = infer_sf(SF_DIR)
+    scaling_paths = fixture(f"scaling-sf{sf}", int(SCALING_ROWS_PER_SF * sf))
+    e2e_paths = fixture(f"e2e-sf{sf}", int(E2E_ROWS_PER_SF * sf))
+
+    levels = sorted({2, 8, CPUS})
+    results = {}
+    for cpus in levels:
+        spark = build_session(cpus)
+        wall, rows = best_of(spark, scaling_paths, n_partitions=cpus,
+                             trials=3 if cpus > 2 else 2, warmups=2 if cpus > 2 else 1)
+        results[cpus] = (wall, rows)
+        spark.stop()
+
+    thr = {c: r / w for c, (w, r) in results.items()}
+    eff_2_8 = round((thr[8] / thr[2]) / 4.0, 3) if 2 in thr and 8 in thr else None
+    eff_8_c = round((thr[CPUS] / thr[8]) / (CPUS / 8), 3) if CPUS != 8 else None
+    host_eff = host_calibration()
+
+    spark = build_session(CPUS)
+    compute_run(spark, e2e_paths, CPUS)  # warm the fresh JVM
+    e2e_wall, e2e_rows = e2e_run(spark, e2e_paths, n_partitions=CPUS)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        q_times[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "routed sequences/sec (parse->dedup->enrich->route->aggregate, full columns, noop sink)",
+                "value": round(thr[CPUS], 1),
+                "unit": "seq/sec",
+                "queries": q_times,
+                "sf": sf,
+                "compute": {
+                    str(c): {
+                        "wall_s_best": round(results[c][0], 3),
+                        "rows_routed": results[c][1],
+                        "seqs_per_sec": round(thr[c], 1),
+                    }
+                    for c in levels
+                },
+                "e2e_with_sink_write": {
+                    "rows_routed": e2e_rows,
+                    "wall_s": round(e2e_wall, 3),
+                    "seqs_per_sec": round(e2e_rows / e2e_wall, 1),
+                },
+                "scaling": {
+                    "efficiency_2_to_8": eff_2_8,
+                    f"efficiency_8_to_{CPUS}": eff_8_c,
+                    "host_cpu_ceiling_8_to_32": host_eff,
+                    "note": (
+                        "N->4N proxy on one box; primary pair 2->8 cores is clean of "
+                        "hypervisor saturation — the host itself caps 8->32-thread raw-CPU "
+                        "scaling at the reported ceiling"
+                    ),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Spark-first implementations over a ``documents(doc_id, text, ...)`` table:
+
+* exact        — hash groupBy (operators/dedup.py)
+* n-gram Jaccard — shingle explode + self-join on shingle + count ratio
+* MinHash + LSH  — k hash functions over shingles (all JVM-side xxhash64
+  with per-function seeds), banded into buckets, candidate pairs from
+  bucket joins, optional exact-Jaccard verification
+* SimHash      — 64-bit sign-aggregated token hashes, hamming buckets
+* embedding cosine near-dup — normalized-vector dot via zip_with, LSH
+  random-hyperplane buckets for the scale path (see similarity.py)
+
+Scale notes: shingle explode multiplies rows by ~n_words; the LSH
+band-bucket groupBy shuffles only (band, bucket, doc_id) — never text.
+Candidate verification joins are self-joins on bucket, salted by AQE
+skew handling; `spark.sql.adaptive.skewJoin` covers hot buckets (e.g.
+boilerplate shingles), and huge buckets can be capped with
+``max_bucket_size`` (dropped + logged, like real dedup systems do for
+degenerate clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per document, as one exploded row per
+    (doc_id, shingle). Pure Catalyst: split + transform + explode."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.withColumn(out, F.explode(F.array_distinct(grams)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word n-gram shingle sets.
+
+    Returns (a, b, common, n_a, n_b) with a < b and
+    common/(n_a+n_b-common) >= threshold. The self-join is on shingle —
+    the canonical inverted-index pair generation; at scale, frequent
+    shingles dominate, so they can be pre-filtered by document frequency
+    (``max_df``) exactly like real dedup pipelines drop boilerplate.
+    """
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("l")
+    b = sh.alias("r")
+    common = (
+        a.join(b, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_sh", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        .where(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) >= F.lit(threshold)
+        )
+    )
+    return out.select("a", "b", "common", F.col("n_a").cast("bigint").alias("n_a"), F.col("n_b").cast("bigint").alias("n_b"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One aggregation, all JVM-side.
+
+    Returns (doc_id, sig array<bigint>).
+    """
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any bucket.
+
+    bucket = xxhash64 of the band's signature slice; docs sharing a
+    bucket in ANY band become one candidate pair (distinct). Buckets
+    larger than ``max_bucket_size`` are dropped (degenerate boilerplate
+    clusters would otherwise explode quadratically).
+    """
+    bands_df = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size:
+        sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        bands_df = bands_df.join(
+            sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+        ).drop("bsz")
+
+    l, r = bands_df.alias("l"), bands_df.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
+    candidate pairs -> (optional) exact-Jaccard verification.
+
+    With verification the result is exact w.r.t. the threshold (LSH only
+    prunes the candidate space), so recall is governed by the banding
+    curve 1-(1-s^r)^b."""
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    if not verify:
+        return cands
+    exact = ngram_jaccard_pairs(docs, threshold, n, id_col, text_col).select("a", "b")
+    return cands.join(exact, ["a", "b"], "inner")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, fully vectorized in Catalyst.
+
+    Each distinct word hashes to 64 bits; the signature bit i is the sign
+    of sum over words of (bit_i ? +1 : -1). Near-dups differ in few bits
+    (compare with ``hamming``)."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = F.transform(words, lambda w: F.xxhash64(w))
+    bit_sums = [
+        F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    tmp = docs.select(id_col, *bit_sums)
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return tmp.select(id_col, sig.alias("simhash"))
+
+
+def hamming(a, b):
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(F.expr(f"{a} ^ {b}") if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, max_distance: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs via 4-block banding (any identical 16-bit
+    block -> candidate; exact for distance<=3 by pigeonhole with 4 blocks)."""
+    sigs = simhash(docs, id_col)
+    blocks = sigs.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cands.where(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_distance
+    ).select("a", "b")
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH buckets then exact
+    cosine verification within buckets (see similarity.py for the
+    hyperplane construction)."""
+    from grove_spark.operators.similarity import add_lsh_bucket, cosine
+
+    b = add_lsh_bucket(emb.select(id_col, vec_col), vec_col, n_planes, seed)
+    l, r = b.alias("l"), b.alias("r")
+    cands = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    sim = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return cands.select(
+        F.col(f"l.{id_col}").alias("a"),
+        F.col(f"r.{id_col}").alias("b"),
+        sim.alias("sim"),
+    ).where(F.col("sim") >= threshold)

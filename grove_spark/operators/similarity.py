@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — exact baseline: broadcast the query
+  vector(s), zip_with dot product, window/ORDER BY LIMIT. All JVM-side.
+* LSH-bucketed ANN — random-hyperplane sign buckets (deterministic,
+  seed-derived planes baked into the plan as literals) restrict the
+  scan to matching buckets; exact re-rank inside. The scale path: the
+  bucket column is computed once at ingest and the table clustered by
+  it, so a query touches |bucket| rows instead of N.
+* batch matmul kernel — for query BATCHES, a vectorized pandas UDF doing
+  one numpy matmul per Arrow batch beats per-row aggregation ~10-100×
+  (the documented Arrow escape hatch; still no per-row Python).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        emb.select(id_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_lsh_bucket(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits of <v, plane_j> packed
+    into an int. Planes are deterministic literals (seeded) so the same
+    bucket function applies at ingest and at query time."""
+    if dim is None:
+        first = emb.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit * (2**j)
+    return emb.withColumn(out, bucket)
+
+
+def lsh_topk(
+    emb_with_bucket: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN: restrict to buckets within ``probe_hamming`` bits of the
+    query's bucket (multi-probe), exact cosine re-rank inside."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for j in range(n_planes):
+        if float(np.dot(query_vec, planes[j])) >= 0:
+            qb |= 1 << j
+    candidates = [qb]
+    if probe_hamming >= 1:
+        candidates += [qb ^ (1 << j) for j in range(n_planes)]
+    sub = emb_with_bucket.where(F.col("bucket").isin(candidates))
+    return brute_force_topk(sub, query_vec, k, id_col, vec_col)
+
+
+def topk_batch_matmul(
+    emb: DataFrame,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k for a BATCH of query vectors: one numpy matmul per Arrow
+    batch inside mapInPandas, then a global top-k per query. Returns
+    (query_idx, vec_id, sim)."""
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    n_q = qn.shape[0]
+    schema = T.StructType([
+        T.StructField("query_idx", T.IntegerType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qn.T  # (rows, n_q)
+            # per-partition top-k per query bounds the shuffle to k*n_q rows
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for qi in range(n_q):
+                top = np.argsort(-sims[:, qi])[:k]
+                out.append(pd.DataFrame({
+                    "query_idx": qi, id_col: ids[top], "sim": sims[top, qi],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_idx").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

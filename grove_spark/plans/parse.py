@@ -1,0 +1,100 @@
+"""The vectorized parse stage: grok/regex field extraction from raw log
+lines (the Spark analog of a Grove connector's response parsing).
+
+Two interchangeable engines, tested for equality:
+
+* ``catalyst`` — ``regexp_extract`` column expressions: JVM-side,
+  whole-stage-codegen'd, the fast default.
+* ``arrow`` — a pandas UDF doing the same extraction with one vectorized
+  ``Series.str.extract`` per Arrow batch (per BASELINE's north_star:
+  connectors become "vectorized parse stages expressed as pandas/Arrow
+  UDFs"). No per-row Python either way.
+
+Custom grok patterns compile to either engine; named groups become
+struct fields.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The fixture's synthetic log line (fixtures/generator.py):
+#   "<iso-ts> level=<LEVEL> source=<src> doc=<doc_id> n=<n>"
+DEFAULT_PATTERN = (
+    r"^(?P<ts>\S+) level=(?P<level>\w+) source=(?P<src>[\w-]+) "
+    r"doc=(?P<doc>[\w-]+) n=(?P<n>\d+)$"
+)
+
+# grok-ish shorthand -> regex, for config-supplied patterns
+_GROK = {
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"\d+",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "GREEDYDATA": r".*",
+}
+
+
+def grok_to_regex(pattern: str) -> str:
+    """Expand ``%{NAME:field}`` grok references into named regex groups."""
+
+    def sub(m: re.Match) -> str:
+        kind, name = m.group(1), m.group(2)
+        return f"(?P<{name}>{_GROK[kind]})"
+
+    return re.sub(r"%\{(\w+):(\w+)\}", sub, pattern)
+
+
+def _group_names(pattern: str) -> list[str]:
+    return list(re.compile(pattern).groupindex.keys())
+
+
+def parse_catalyst(raw: Column, pattern: str = DEFAULT_PATTERN) -> Column:
+    """Compile the named-group regex to one regexp_extract per field.
+
+    Catalyst caches the compiled Pattern per task; N extracts over the
+    same line stay in one codegen stage.
+    """
+    names = _group_names(pattern)
+    # regexp_extract uses numbered groups; named groups are also numbered
+    # in order of appearance.
+    plain = re.sub(r"\(\?P<\w+>", "(", pattern)
+    fields = [
+        F.regexp_extract(raw, plain, i + 1).alias(name)
+        for i, name in enumerate(names)
+    ]
+    return F.struct(*fields)
+
+
+def parse_arrow(raw: Column, pattern: str = DEFAULT_PATTERN) -> Column:
+    """Same extraction as an Arrow-vectorized pandas UDF (one
+    ``Series.str.extract`` per batch — no per-row Python)."""
+    names = _group_names(pattern)
+    out_t = T.StructType([T.StructField(n, T.StringType()) for n in names])
+
+    @F.pandas_udf(out_t)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        df = s.str.extract(pattern)
+        return df.fillna("")  # regexp_extract yields '' on miss; keep parity
+
+    return extract(raw)
+
+
+def parse_stage(
+    df: DataFrame,
+    raw_col: str = "raw",
+    pattern: str = DEFAULT_PATTERN,
+    engine: str = "catalyst",
+    out_col: str = "parsed",
+) -> DataFrame:
+    if "%{" in pattern:
+        pattern = grok_to_regex(pattern)
+    fn = parse_catalyst if engine == "catalyst" else parse_arrow
+    return df.withColumn(out_col, fn(F.col(raw_col), pattern))

@@ -1,0 +1,180 @@
+"""The flagship end-to-end plan: parse -> enrich -> route -> aggregate.
+
+This is the Spark lifecycle equivalent of the reference's whole
+entrypoint (SURVEY §3.4): what Grove does with 50 threads, per-page HTTP
+and row-at-a-time processors becomes ONE declarative DataFrame plan:
+
+  scan sequences (watermark predicate pushed to parquet/Iceberg)
+    -> vectorized parse of the raw line (catalyst regex | arrow UDF)
+    -> broadcast enrich with the sources dim (connector/pointer_path/...)
+    -> optional processor chain (raw vs processed dual stream)
+    -> broadcast routing join to sinks dim (fan-out, salted repartition)
+    -> partitioned write per descriptor + per-sink aggregate counts
+
+Scale notes (the 100 TB plan): the only wide operation is the final
+groupBy on (descriptor) — low cardinality, partial-agg'd map-side. Both
+joins are broadcast. The write shuffle is the salted repartition, sized
+by ``n_partitions``. Everything else is embarrassingly parallel scan +
+project inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from grove_spark.operators.dedup import dedup_by_pointer
+from grove_spark.operators.enrich import enrich
+from grove_spark.operators.routing import route, salted_repartition, sink_counts
+from grove_spark.operators.sinks import write_partitioned_parquet
+from grove_spark.plans.metadata import grove_metadata
+from grove_spark.plans.parse import DEFAULT_PATTERN, parse_stage
+from grove_spark.state.runstate import RunState, reference
+
+
+@dataclass
+class PipelineResult:
+    routed: DataFrame
+    counts: DataFrame
+    observed: dict
+    run_id: str | None = None
+
+
+def build_pipeline(
+    sequences: DataFrame,
+    sources_dim: DataFrame,
+    sinks_dim: DataFrame,
+    parse_engine: str = "catalyst",
+    pattern: str = DEFAULT_PATTERN,
+    watermark: str | None = None,
+    pointer_col: str = "event_time",
+    n_partitions: int = 32,
+    n_salt: int = 8,
+    with_metadata: bool = True,
+    observe: bool = True,
+    dedup_batch: bool = False,
+    seen_state: DataFrame | None = None,
+    repartition: bool = True,
+) -> PipelineResult:
+    """Assemble the full plan lazily; nothing executes here."""
+    df = sequences
+    if watermark is not None:
+        # incremental scan: exact predicate, pushed down to the file scan
+        df = dedup_by_pointer(df, pointer_col, watermark)
+    if seen_state is not None:
+        # D1 content-hash dedup against the previous run's boundary state
+        # (the reference hashes every entry on every save() and drops
+        # cache hits, grove/connectors/__init__.py:403,627-671). The seen
+        # table is tiny by construction -> broadcast anti-join; the md5
+        # of canonical JSON per row is the dominant CPU cost, there is
+        # NO shuffle.
+        from grove_spark.operators.dedup import dedup_by_hash
+
+        df = dedup_by_hash(df, seen_state, ["doc_id", "tokens"], pointer_col)
+    if dedup_batch:
+        # exact within-collection dedup (a full shuffle on the content
+        # hash — only needed when one collection can itself contain dups)
+        from grove_spark.operators.dedup import dedup_within_batch
+
+        df = dedup_within_batch(df, ["doc_id", "tokens"])
+    if "raw" in df.columns:
+        df = parse_stage(df, "raw", pattern, engine=parse_engine)
+    df = enrich(df, sources_dim, on="source")
+    if with_metadata:
+        df = grove_metadata(
+            df,
+            pointer=F.col(pointer_col).cast("string"),
+            collection_time=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+    routed = route(df, sinks_dim, connector_col="connector", raw_col="tokens")
+    # Lean output projection BEFORE the routing shuffle: the sink schema
+    # is (doc_id, routed_tokens, n_tok, source, connector, identity,
+    # descriptor, sink_kind, event_time, parsed?, _grove?). Dropping the
+    # duplicate raw token array and the raw line here halves shuffle and
+    # sink bytes — at 100 TB that's the difference between a write-bound
+    # and a scan-bound job.
+    keep = [c for c in [
+        "doc_id", "routed_tokens", "n_tok", "source", "connector",
+        "identity", "descriptor", "sink_kind", "stream", "event_time",
+        "parsed", "_grove", "pointer_path", "log_order",
+    ] if c in routed.columns]
+    routed = routed.select(*keep)
+    obs = None
+    if observe:
+        obs = Observation("grove_pipeline")
+        routed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("processed"),
+            F.sum("n_tok").alias("n_tok_total"),
+        )
+    # telemetry aggregates BEFORE the routing shuffle: it needs only
+    # (descriptor, n_tok), so the token arrays never enter this branch's
+    # shuffle; the salted repartition exists solely for the fan-out WRITE
+    counts = sink_counts(routed)
+    if repartition:
+        routed = salted_repartition(routed, n_partitions, n_salt=n_salt)
+    return PipelineResult(routed=routed, counts=counts, observed=obs)  # type: ignore[arg-type]
+
+
+def run_incremental(
+    spark: SparkSession,
+    sequences_path: str,
+    sources_dim: DataFrame,
+    sinks_dim: DataFrame,
+    state: RunState,
+    out_path: Optional[str] = None,
+    connector_key: str = "fleet",
+    identity: str = "default",
+    pointer_col: str = "event_time",
+    **plan_kw,
+) -> PipelineResult:
+    """One resumable run: read watermark from run-state, build the plan
+    with the incremental predicate, write sinks, then commit watermark +
+    metrics + data lineage in one manifest (exactly-once on resume).
+    """
+    key = reference(connector_key, identity)
+    watermark = state.pointer(key)
+    run_id = state.new_run_id()
+
+    sequences = spark.read.parquet(sequences_path)
+    result = build_pipeline(
+        sequences, sources_dim, sinks_dim,
+        watermark=watermark, pointer_col=pointer_col, **plan_kw,
+    )
+
+    # several actions follow (write, counts, max-pointer) — persist the
+    # routed stream once instead of rescanning the source per action
+    result.routed.persist()
+    counts_rows = result.counts.collect()  # tiny: one row per descriptor
+    data_paths = []
+    # skip empty collections entirely, like the reference does for empty
+    # streams (grove/connectors/__init__.py:358-366) — a 0-row dynamic
+    # partition write would publish a schemaless, unreadable directory
+    if out_path and counts_rows:
+        run_dir = f"{out_path}/part-{run_id}"
+        write_partitioned_parquet(result.routed, run_dir)
+        data_paths.append(run_dir)
+    new_ptr = (
+        result.routed.agg(F.max(F.col(pointer_col).cast("string"))).first()[0]
+        if counts_rows
+        else watermark
+    )
+    metrics = {
+        "per_sink": {r["descriptor"]: {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]} for r in counts_rows},
+    }
+    if result.observed is not None and counts_rows:
+        # Observation.get asserts on a 0-row observed plan; an empty run
+        # has nothing to observe anyway
+        metrics["observed"] = {k: v for k, v in result.observed.get.items()}
+
+    state.commit(
+        key, run_id,
+        pointer=new_ptr, metrics=metrics, data_paths=data_paths,
+    )
+    result.routed.unpersist()
+    result.run_id = run_id
+    return result

@@ -1,0 +1,447 @@
+"""Query catalog for the driver's correctness gate.
+
+Each entry pairs a Spark implementation (built from grove_spark's real
+operators) with an ANSI-SQL oracle DuckDB runs on the same parquet
+tables (/root/testdata/sf*/). Conventions for hash-stable comparison:
+
+* every computed column is aliased identically on both sides;
+* counts  -> BIGINT on both sides (DuckDB SUM(int) is HUGEINT — cast);
+* money   -> exact DECIMAL(18,2) sums, then cast to DOUBLE (both engines
+  derive the same double from the same exact decimal);
+* times   -> unix microseconds (BIGINT), never engine-formatted strings;
+* floats from single arithmetic ops on the same inputs are bit-equal.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grove_spark.operators.enrich import enrich
+from grove_spark.operators.processors import filter_entries, split_path, zip_paths
+from grove_spark.operators.routing import sink_counts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+# ---------------------------------------------------------------------------
+# Grove pipeline operators over the driver testdata
+# ---------------------------------------------------------------------------
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: multi-output routing fan-out + per-sink counts (O6/O7).
+
+    documents stands in for sequences; every source routes raw->logs and
+    processed->processed, sources with src_num%3==0 also route->archive
+    (mirrors the fixture sinks dim)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "connector", F.concat(F.col("source"), F.lit("_audit_events"))
+    )
+    srcs = docs.select("source", "connector").distinct()
+    sinks_dim = (
+        srcs.withColumn(
+            "descriptors",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 3 == 0,
+                F.array(F.lit("logs"), F.lit("processed"), F.lit("archive")),
+            ).otherwise(F.array(F.lit("logs"), F.lit("processed"))),
+        )
+        .select("connector", F.explode("descriptors").alias("descriptor"))
+        .withColumn("stream", F.when(F.col("descriptor") == "processed", F.lit("processed")).otherwise(F.lit("raw")))
+        .withColumn("sink_kind", F.lit("s3"))
+    )
+    routed = docs.join(F.broadcast(sinks_dim), "connector", "inner")
+    return routed.groupBy("descriptor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+SQL_ROUTE_COUNTS = """
+WITH routed AS (
+  SELECT d.*, 'logs' AS descriptor FROM documents d
+  UNION ALL
+  SELECT d.*, 'processed' FROM documents d
+  UNION ALL
+  SELECT d.*, 'archive' FROM documents d
+  WHERE CAST(substr(source, 4, 10) AS INT) % 3 = 0
+)
+SELECT descriptor,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM routed GROUP BY descriptor
+"""
+
+
+def q_extract_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 over the events table: JSON-path extraction with first-truthy
+    source resolution + a static field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    mapped = F.when(k.isNotNull() & (k != ""), k).otherwise(F.col("event_type"))
+    return ev.select(
+        F.col("event_id"),
+        mapped.alias("mapped"),
+        F.lit("8.8").alias("ecs_version"),
+    )
+
+
+SQL_EXTRACT_PATHS = """
+SELECT event_id,
+       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                 AND json_extract_string(props, '$.k') <> ''
+            THEN json_extract_string(props, '$.k') ELSE event_type END AS mapped,
+       '8.8' AS ecs_version
+FROM events
+"""
+
+
+def q_filter_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: drop rows matching any filter (errors and zero-value rows)."""
+    ev = _t(spark, sf_dir, "events")
+    out = filter_entries(ev, ["sql:event_type = 'error'", "sql:value <= 0"])
+    return out.select("event_id", "event_type", "user_id")
+
+
+SQL_FILTER_ENTRIES = """
+SELECT event_id, event_type, user_id FROM events
+WHERE NOT (event_type = 'error' OR value <= 0)
+"""
+
+
+def q_split_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: fan one document into one row per word (explode)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    return split_path(docs, "words").select("doc_id", F.col("words").alias("word"))
+
+
+SQL_SPLIT_PATH = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+"""
+
+
+def q_zip_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: K/V list -> map, exploded back to rows for comparison."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "params",
+        F.array(
+            F.struct(F.lit("k").alias("name"), F.get_json_object("props", "$.k").alias("value")),
+            F.struct(F.lit("type").alias("name"), F.col("event_type").alias("value")),
+        ),
+    )
+    zipped = zip_paths(ev, "params", key="name", values=["value"])
+    return zipped.select("event_id", F.explode("params")).select(
+        "event_id", F.col("key"), F.col("value")
+    )
+
+
+SQL_ZIP_PATHS = """
+SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS value FROM events
+UNION ALL
+SELECT event_id, 'type' AS key, event_type AS value FROM events
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact content dedup: group by content hash, keep min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.min("doc_id").alias("keeper"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+WATERMARK = "2024-01-03 00:00:00"
+
+
+def q_dedup_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 incremental watermark scan: rows past the stored pointer,
+    new pointer per group (unix micros)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts") > F.lit(WATERMARK))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("new_pointer_us"),
+    )
+
+
+SQL_DEDUP_POINTER = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(epoch_us(ts)) AS new_pointer_us
+FROM events WHERE ts > TIMESTAMP '{WATERMARK}'
+GROUP BY event_type
+"""
+
+
+def q_boundary_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 bounded seen-state: content hashes of rows sharing the max
+    pointer value per connector-analog (event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("ts"))
+    rows = ev.join(F.broadcast(mx), ["event_type", "ts"], "inner")
+    return rows.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("pointer_us"),
+        F.md5(F.col("event_id").cast("string")).alias("hash"),
+    )
+
+
+SQL_BOUNDARY_HASHES = """
+SELECT e.event_type,
+       epoch_us(e.ts) AS pointer_us,
+       md5(CAST(e.event_id AS VARCHAR)) AS hash
+FROM events e
+JOIN (SELECT event_type, max(ts) AS ts FROM events GROUP BY event_type) m
+  ON e.event_type = m.event_type AND e.ts = m.ts
+"""
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 broadcast enrich: orders joined to the customer dim."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = enrich(orders, cust, on="o_custkey", how="inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+SQL_ENRICH_BROADCAST = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_sink_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 per-sink saved-count telemetry shape over lineitem (q1-like
+    partial-aggregated groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+    )
+
+
+SQL_SINK_TELEMETRY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer (windowed rank — resume/window parity)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 2
+"""
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6-adjacent: tumbling hourly windows over the event stream (the
+    batch shape of the streaming windowed aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp")).alias("hour_us"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+
+
+SQL_TUMBLING_COUNTS = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops (text analysis / similarity) — first slice
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: word count, stopword count, and a scaled integer
+    score (integer arithmetic -> bit-stable across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.floor(n_stop * 1000 / n_words).cast("bigint").alias("stop_ratio_k"),
+    )
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(string_split(text,' '), w -> w IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+       CAST(floor(len(list_filter(string_split(text,' '), w -> w IN ({_STOP_SQL}))) * 1000.0
+             / len(string_split(text,' '))) AS BIGINT) AS stop_ratio_k
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword density thresholding (deterministic
+    integer score; real n-gram models plug into the same shape)."""
+    scored = q_quality_score(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return scored.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("stop_ratio_k") >= 100, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS ({SQL_QUALITY_SCORE})
+SELECT s.doc_id, d.lang,
+       CASE WHEN s.stop_ratio_k >= 100 THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.regexp_replace("text", " ", ""))).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fp FROM documents
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (exact ANN
+    baseline). Returns ids only — float sims are engine-bit-sensitive."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    return (
+        joined.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+
+
+SQL_ANN_BRUTEFORCE = """
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY sim DESC, vec_id ASC LIMIT 10
+)
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "route_counts": q_route_counts,
+    "extract_paths": q_extract_paths,
+    "filter_entries": q_filter_entries,
+    "split_path": q_split_path,
+    "zip_paths": q_zip_paths,
+    "dedup_exact": q_dedup_exact,
+    "dedup_pointer": q_dedup_pointer,
+    "boundary_hashes": q_boundary_hashes,
+    "enrich_broadcast": q_enrich_broadcast,
+    "sink_telemetry": q_sink_telemetry,
+    "window_topk": q_window_topk,
+    "tumbling_counts": q_tumbling_counts,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_bruteforce": q_ann_bruteforce,
+}
+
+ORACLE: Dict[str, str] = {
+    "route_counts": SQL_ROUTE_COUNTS,
+    "extract_paths": SQL_EXTRACT_PATHS,
+    "filter_entries": SQL_FILTER_ENTRIES,
+    "split_path": SQL_SPLIT_PATH,
+    "zip_paths": SQL_ZIP_PATHS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_pointer": SQL_DEDUP_POINTER,
+    "boundary_hashes": SQL_BOUNDARY_HASHES,
+    "enrich_broadcast": SQL_ENRICH_BROADCAST,
+    "sink_telemetry": SQL_SINK_TELEMETRY,
+    "window_topk": SQL_WINDOW_TOPK,
+    "tumbling_counts": SQL_TUMBLING_COUNTS,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+}

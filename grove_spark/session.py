@@ -31,18 +31,27 @@ def get_spark(
         n = cpus if cpus.isdigit() else "32"
         shuffle_partitions = max(int(n), 4)
 
+    mem = os.environ.get("GROVE_SPARK_DRIVER_MEM", "6g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # pin Xms=Xmx: this sandbox faults fresh pages at ~15 MB/s, so a
+        # growing heap serializes the job behind the hypervisor; a fixed
+        # heap recycles warm pages (GC) and stays fast. On a real cluster
+        # this is also the recommended executor setting.
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("GROVE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide array columns make row-count-per-byte low; smaller splits
+        # keep single-file scans parallel in local mode
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

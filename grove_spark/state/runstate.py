@@ -1,0 +1,150 @@
+"""Run-state / checkpoint lineage (SURVEY §2.6 T1-T5).
+
+The reference persists per-connector state in a KV cache keyed
+``(state_kind, <connector>.<md5(identity)>[.<operation>])``
+(cache_key(), grove/connectors/__init__.py:573-588; kinds in
+grove/constants.py:7-16: pointer, pointer_next, pointer_previous,
+window_start, window_end, last, seen). Its known weakness: outputs are
+written BEFORE the pointer commit (:443-445 comment), so a crash between
+the two duplicates a page (at-least-once).
+
+This module does better with a transactional manifest, the local-mode
+stand-in for an Iceberg snapshot commit (production: the same protocol
+rides Iceberg's atomic snapshot + summary properties):
+
+* each run writes data files under ``part-<run_id>/`` inside the sink
+  root, then atomically publishes a manifest (``os.replace``) recording
+  {run_id, committed data paths, new pointer, seen-hashes, per-partition
+  metrics}. Readers/resumers only see manifested runs -> a crash between
+  data write and manifest publish leaves an orphan directory, not a
+  duplicate: exactly-once effect on resume, beating the reference.
+* per-partition processed/failed metrics ride ``df.observe()``
+  (the `_saved` telemetry, :144-148) and land in the same manifest —
+  checkpoint lineage per partition.
+
+Pure batch-side Python on the driver; no executor state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def reference(connector: str, identity: str, operation: str = "all") -> str:
+    """State key — parity with ConnectorConfig.reference()
+    (grove/models.py:126-150): connector '.' md5(identity) ['.' operation]."""
+    ident_md5 = hashlib.md5(identity.encode()).hexdigest()
+    key = f"{connector}.{ident_md5}"
+    if operation and operation != "all":
+        key = f"{key}.{operation}"
+    return key
+
+
+@dataclass
+class Manifest:
+    run_id: str
+    committed: Dict[str, Any] = field(default_factory=dict)  # key -> state
+    history: list = field(default_factory=list)
+
+
+class RunState:
+    """Manifest-backed run state over a directory.
+
+    Layout: ``<root>/_state.json`` is the single atomically-replaced
+    source of truth; each entry per state key carries pointer,
+    previous_pointer, last_run, seen hashes and the last run's metrics +
+    data paths (lineage).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._path = os.path.join(root, "_state.json")
+
+    # -- reads ---------------------------------------------------------------
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._path):
+            return {"entries": {}, "history": []}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def get(self, key: str) -> dict | None:
+        return self._load()["entries"].get(key)
+
+    def pointer(self, key: str) -> Optional[str]:
+        e = self.get(key)
+        return e.get("pointer") if e else None
+
+    def seen_hashes(self, key: str) -> Dict[str, list]:
+        e = self.get(key)
+        return (e or {}).get("seen", {})
+
+    def last_run(self, key: str) -> Optional[float]:
+        e = self.get(key)
+        return e.get("last_run") if e else None
+
+    def due(self, key: str, frequency_s: float, now: float | None = None) -> bool:
+        """Scheduling check (reference due(), grove/connectors/__init__.py:160-200)."""
+        last = self.last_run(key)
+        now = time.time() if now is None else now
+        return last is None or (now - last) >= frequency_s
+
+    # -- commits ---------------------------------------------------------------
+
+    def new_run_id(self) -> str:
+        return uuid.uuid4().hex[:16]
+
+    def commit(
+        self,
+        key: str,
+        run_id: str,
+        pointer: Optional[str] = None,
+        seen: Optional[Dict[str, list]] = None,
+        metrics: Optional[dict] = None,
+        data_paths: Optional[list] = None,
+        now: float | None = None,
+    ) -> None:
+        """Atomically publish a run: data paths + pointer + dedup state +
+        metrics in ONE manifest replace. The Iceberg analog is one
+        snapshot commit carrying summary properties."""
+        state = self._load()
+        prev = state["entries"].get(key, {})
+        state["entries"][key] = {
+            "pointer": pointer if pointer is not None else prev.get("pointer"),
+            "previous_pointer": prev.get("pointer"),
+            "last_run": time.time() if now is None else now,
+            "seen": seen if seen is not None else prev.get("seen", {}),
+            "run_id": run_id,
+        }
+        state["history"].append(
+            {
+                "run_id": run_id,
+                "key": key,
+                "pointer": pointer,
+                "metrics": metrics or {},
+                "data_paths": data_paths or [],
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._path)  # the atomic "snapshot commit"
+
+    def committed_paths(self) -> list:
+        """Every data path any manifested run published — what a reader
+        may consume. Orphan part-dirs from crashed runs are invisible."""
+        out = []
+        for h in self._load()["history"]:
+            out.extend(h["data_paths"])
+        return out
+
+    def is_committed(self, run_id: str) -> bool:
+        return any(h["run_id"] == run_id for h in self._load()["history"])

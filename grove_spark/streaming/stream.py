@@ -1,0 +1,95 @@
+"""Structured Streaming variant of the pipeline (SURVEY §2.6).
+
+The reference's daemon mode (grove/entrypoints/local_daemon.py:49-197)
+polls vendor APIs every `frequency` seconds per connector. The streaming
+equivalent: ``readStream`` over the landed sequence files (or a rate /
+Kafka source in production), the SAME transform chain (the batch plan
+functions are reused verbatim — that's the point of declaring them as
+DataFrame -> DataFrame), then:
+
+* ``withWatermark(event_time, delay)`` — the consistency-delay /
+  late-data handling of T6 (GitHub `delay`, BigQuery 180 s ceiling);
+* ``dropDuplicatesWithinWatermark`` — the streaming form of D1
+  content-hash dedup with bounded state (exactly the reference's
+  "hashes only for the newest pointer" bound, enforced by the engine);
+* windowed per-sink counts (O7 telemetry as a live aggregate);
+* ``foreachBatch`` sinks with the checkpoint directory providing the
+  pointer-commit semantics (T1) — Spark's checkpoint IS the pointer
+  cache, committed atomically with the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grove_spark.functions.hashing import entry_hash
+from grove_spark.operators.enrich import enrich
+from grove_spark.operators.routing import route
+from grove_spark.plans.parse import DEFAULT_PATTERN, parse_stage
+
+
+def read_sequence_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-based micro-batch source over the landing directory (each
+    arriving parquet file ≈ one vendor API page)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def build_stream(
+    stream: DataFrame,
+    sources_dim: DataFrame,
+    sinks_dim: DataFrame,
+    delay: str = "30 seconds",
+    dedup: bool = True,
+    pattern: str = DEFAULT_PATTERN,
+) -> DataFrame:
+    """The same parse->enrich->route chain, streaming-safe."""
+    # watermarks require TIMESTAMP (tz-aware); parquet NTZ cols cast
+    # through the session zone (UTC)
+    df = stream.withColumn("event_time", F.col("event_time").cast("timestamp"))
+    df = df.withWatermark("event_time", delay)
+    if dedup:
+        df = df.withColumn("__h", entry_hash(["doc_id", "tokens"]))
+        df = df.dropDuplicatesWithinWatermark(["__h"]).drop("__h")
+    if "raw" in df.columns:
+        df = parse_stage(df, "raw", pattern, engine="catalyst")
+    df = enrich(df, sources_dim, on="source")
+    return route(df, sinks_dim, connector_col="connector", raw_col="tokens")
+
+
+def windowed_sink_counts(routed: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Live O7 telemetry: per-sink counts over tumbling event-time windows."""
+    return routed.groupBy(
+        F.window("event_time", window), F.col("descriptor")
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.size("routed_tokens")).alias("sum_n_tok"),
+    )
+
+
+def start_to_parquet(
+    routed: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+    foreach_batch: Optional[Callable] = None,
+):
+    """Start the sink; the checkpoint dir carries pointer-commit lineage
+    (T1: offsets+state committed atomically per micro-batch)."""
+    writer = routed.writeStream.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    if foreach_batch is not None:
+        return writer.foreachBatch(foreach_batch).start()
+    return writer.format("parquet").option("path", out_path).start()

@@ -1,0 +1,109 @@
+"""Near-dup detection: planted duplicates must be found; clean corpora
+must not produce false positives at high thresholds."""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from grove_spark.operators.dedup_fuzzy import (
+    embedding_near_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold windowsill")  # 1-word edit
+FAR = (
+    "completely different text about spark dataframes shuffles and "
+    "broadcast joins at terabyte scale with adaptive query execution"
+)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], schema=SCHEMA
+    )
+
+
+def test_word_shingles(spark, docs):
+    sh = word_shingles(docs.where("doc_id = 3"), n=3).collect()
+    words = FAR.split(" ")
+    assert len(sh) == len(words) - 2
+    assert sh[0]["shingle"] == "completely different text"
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup
+    assert (1, 2) in got and (2, 4) in got  # near dup
+    assert not any(3 in p for p in got)  # unrelated doc clean
+    exact = [r for r in pairs if (r["a"], r["b"]) == (1, 4)][0]
+    assert exact["common"] == exact["n_a"] == exact["n_b"]
+
+
+def test_minhash_exact_dup_identical_signature(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=32).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    # near-dup signatures mostly agree
+    agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b) / 32
+    assert agree > 0.5
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_dedup_pairs(docs, threshold=0.5, num_hashes=32, bands=8).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
+    boiler = [(i, BASE) for i in range(20)]
+    df = spark.createDataFrame(boiler, schema=SCHEMA)
+    sigs = minhash_signatures(df, num_hashes=32)
+    # cap below the cluster size: no candidates survive
+    assert lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=10).count() == 0
+    # without the cap: full quadratic pair set
+    assert lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=0).count() == 190
+
+
+def test_simhash_near_pairs(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[4]
+    pairs = {(r["a"], r["b"]) for r in simhash_near_pairs(docs, max_distance=6).collect()}
+    assert (1, 4) in pairs
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_embedding_near_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(16)
+    v2 = v1 + rng.standard_normal(16) * 0.01  # near-dup
+    v3 = rng.standard_normal(16)  # unrelated
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v1]), (2, [float(x) for x in v2]), (3, [float(x) for x in v3])],
+        schema=schema,
+    )
+    pairs = embedding_near_pairs(df, threshold=0.95, n_planes=4).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}

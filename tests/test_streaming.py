@@ -1,0 +1,85 @@
+"""Structured Streaming variant: same transforms, micro-batch execution,
+checkpointed resume (availableNow triggers keep tests deterministic)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from grove_spark.fixtures.generator import write_fixture
+from grove_spark.streaming.stream import (
+    build_stream,
+    read_sequence_stream,
+    start_to_parquet,
+    windowed_sink_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_fixture")
+    return write_fixture(str(d), 300)
+
+
+def test_stream_pipeline_counts_match_batch(spark, fixture_dir, tmp_path):
+    batch_df = spark.read.parquet(fixture_dir["sequences"])
+    sources = spark.read.parquet(fixture_dir["sources"])
+    sinks = spark.read.parquet(fixture_dir["sinks"])
+
+    stream = read_sequence_stream(spark, fixture_dir["sequences"], batch_df.schema)
+    assert stream.isStreaming
+    routed = build_stream(stream, sources, sinks, dedup=False)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_to_parquet(
+        routed.select("doc_id", "descriptor", "routed_tokens", "event_time"),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # batch reference
+    from grove_spark.plans.pipeline import build_pipeline
+
+    res = build_pipeline(batch_df, sources, sinks, n_partitions=4, with_metadata=False)
+    want = {(r["descriptor"], r["rows"]) for r in res.counts.collect()}
+    got_counts = {
+        (r["descriptor"], r["count"])
+        for r in got.groupBy("descriptor").count().collect()
+    }
+    assert got_counts == want
+
+
+def test_stream_resume_no_duplicates(spark, fixture_dir, tmp_path):
+    """Restarting from the checkpoint reprocesses nothing (T1 pointer
+    commit == checkpoint offsets)."""
+    batch_df = spark.read.parquet(fixture_dir["sequences"])
+    sources = spark.read.parquet(fixture_dir["sources"])
+    sinks = spark.read.parquet(fixture_dir["sinks"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_sequence_stream(spark, fixture_dir["sequences"], batch_df.schema)
+        routed = build_stream(stream, sources, sinks, dedup=False)
+        q = start_to_parquet(
+            routed.select("doc_id", "descriptor", "event_time"), out, ckpt
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: availableNow finds nothing new
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+
+
+def test_windowed_counts_is_valid_streaming_agg(spark, fixture_dir):
+    batch_df = spark.read.parquet(fixture_dir["sequences"])
+    sources = spark.read.parquet(fixture_dir["sources"])
+    sinks = spark.read.parquet(fixture_dir["sinks"])
+    stream = read_sequence_stream(spark, fixture_dir["sequences"], batch_df.schema)
+    routed = build_stream(stream, sources, sinks, dedup=True, delay="10 minutes")
+    agg = windowed_sink_counts(routed)
+    # plan must be a legal streaming aggregation (analysis would throw here)
+    assert agg.isStreaming
