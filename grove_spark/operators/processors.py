@@ -180,16 +180,10 @@ def zip_paths(
         ),
     )
     kept = F.filter(entries, lambda e: e["key"].isNotNull() & e["value"].isNotNull())
-    # last-wins duplicate-key semantics == map_from_entries on reversed
-    # input with first-wins... Spark's map_from_entries errors on dup keys
-    # under default policy, so dedupe explicitly keeping the LAST entry.
-    deduped = F.filter(
-        kept,
-        lambda e, i: ~F.exists(
-            F.slice(kept, i + 2, F.size(kept)), lambda later: later["key"] == e["key"]
-        ),
-    )
-    zipped = F.when(src.isNotNull(), F.map_from_entries(deduped))
+    # last-wins duplicate-key semantics ride the session's
+    # spark.sql.mapKeyDedupPolicy=LAST_WIN (session.py) — matching the
+    # reference's dict assignment order without a quadratic dedup pass
+    zipped = F.when(src.isNotNull(), F.map_from_entries(kept))
     df = df.withColumn("__grove_zip", zipped)
     df = _replace_at_path(df, parts, F.col("__grove_zip"))
     return df.drop("__grove_zip")
@@ -211,6 +205,17 @@ def _replace_at_path(df: DataFrame, parts: List[str], value: Column) -> DataFram
 # Chain runner — the processor pipeline (grove/connectors/__init__.py:756-790)
 # ---------------------------------------------------------------------------
 
+def decode_base64(df: DataFrame, paths: Sequence[str]) -> DataFrame:
+    """P6: base64-decode config-flagged string fields in place
+    (grove/models.py:22-42,193-201 applies ``decode(value, "base64")``
+    to fields listed under ``encoding: {base64: [...]}``)."""
+    for p in paths:
+        parts = quote_aware_split(p)
+        col = F.unbase64(path_col(p)).cast("string")
+        df = _replace_at_path(df, parts, col)
+    return df
+
+
 _PROCESSORS = {
     "extract_paths": lambda df, cfg: extract_paths(
         df, cfg.get("fields", []), raw=cfg.get("raw")
@@ -221,6 +226,7 @@ _PROCESSORS = {
     "zip_paths": lambda df, cfg: zip_paths(
         df, cfg["source"], cfg["key"], cfg.get("values", [])
     ),
+    "decode_base64": lambda df, cfg: decode_base64(df, cfg["paths"]),
 }
 
 

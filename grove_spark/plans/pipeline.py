@@ -59,6 +59,7 @@ def build_pipeline(
     dedup_batch: bool = False,
     seen_state: DataFrame | None = None,
     repartition: bool = True,
+    processed_chain: list | None = None,
 ) -> PipelineResult:
     """Assemble the full plan lazily; nothing executes here."""
     df = sequences
@@ -90,7 +91,26 @@ def build_pipeline(
             pointer=F.col(pointer_col).cast("string"),
             collection_time=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
-    routed = route(df, sinks_dim, connector_col="connector", raw_col="tokens")
+    if processed_chain:
+        # raw-vs-processed dual stream (OutputStream.raw/processed,
+        # grove/models.py:62-70): descriptors subscribed to "processed"
+        # receive the chain's output — which may change cardinality
+        # (split_path) — so the fan-out is a union of two routing joins
+        # over one shared (persisted upstream by the caller) scan.
+        from grove_spark.operators.processors import apply_chain
+
+        raw_routed = route(
+            df, sinks_dim.where(F.col("stream") != "processed"),
+            connector_col="connector", raw_col="tokens",
+        )
+        processed_df = apply_chain(df, processed_chain)
+        proc_routed = route(
+            processed_df, sinks_dim.where(F.col("stream") == "processed"),
+            connector_col="connector", raw_col="tokens",
+        )
+        routed = raw_routed.unionByName(proc_routed, allowMissingColumns=True)
+    else:
+        routed = route(df, sinks_dim, connector_col="connector", raw_col="tokens")
     # Lean output projection BEFORE the routing shuffle: the sink schema
     # is (doc_id, routed_tokens, n_tok, source, connector, identity,
     # descriptor, sink_kind, event_time, parsed?, _grove?). Dropping the
@@ -105,12 +125,24 @@ def build_pipeline(
     routed = routed.select(*keep)
     obs = None
     if observe:
-        obs = Observation("grove_pipeline")
-        routed = routed.observe(
-            obs,
+        # per-run processed/failed telemetry (the reference's _saved
+        # counters + per-row error accounting, grove/connectors/
+        # __init__.py:144-148): a row whose raw line failed the grok
+        # pattern counts as failed
+        metrics = [
             F.count(F.lit(1)).alias("processed"),
             F.sum("n_tok").alias("n_tok_total"),
-        )
+        ]
+        if "parsed" in routed.columns:
+            pfields = [f.name for f in routed.schema["parsed"].dataType.fields]
+            probe = pfields[0] if "doc" not in pfields else "doc"
+            metrics.append(
+                F.sum(
+                    F.when(F.col(f"parsed.{probe}") == "", 1).otherwise(0)
+                ).alias("failed")
+            )
+        obs = Observation("grove_pipeline")
+        routed = routed.observe(obs, *metrics)
     # telemetry aggregates BEFORE the routing shuffle: it needs only
     # (descriptor, n_tok), so the token arrays never enter this branch's
     # shuffle; the salted repartition exists solely for the fan-out WRITE

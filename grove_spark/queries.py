@@ -445,3 +445,258 @@ ORACLE: Dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening: joins/set-ops/rollup, near-dup, encoding, generator
+# ---------------------------------------------------------------------------
+
+def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (orders |><| lineitem) — the shape AQE plans as a
+    shuffled join with runtime skew handling; revenue per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+SQL_FACT_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi / left-anti joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(orders, "c_custkey", "left_semi").count()
+    without = cust.join(orders, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [("with_orders", with_orders), ("without_orders", without)],
+        "kind string, n bigint",
+    )
+
+
+SQL_SEMI_ANTI = """
+SELECT 'with_orders' AS kind,
+       CAST(count(*) AS BIGINT) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders',
+       CAST(count(*) AS BIGINT) FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping flags (subtotal rows for the telemetry
+    dashboards the reference's _saved counters feed)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (status columns per segment)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("bigint").alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("n_filled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).cast("bigint").alias("n_partial"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (the planted
+    near-duplicates in the documents fixture)."""
+    from grove_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+    range(greatest(len(string_split(text,' '))-2, 0)),
+    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS shingle
+  FROM documents
+), sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT l.doc AS a, r.doc AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+  GROUP BY 1, 2
+)
+SELECT a, b, common,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+FROM pairs JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over distinct words with md5-derived bits (md5 is the
+    cross-engine-identical hash; production uses xxhash64 — see
+    operators/dedup_fuzzy.simhash)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+    sig = F.lit(0).cast("bigint")
+    for i in range(_SIMHASH_BITS):
+        bit_sum = F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(F.shiftright(h(w), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(bit_sum > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for i in range(_SIMHASH_BITS):
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_distinct(string_split(text,' ')), "
+            f"w -> CASE WHEN (('0x'||substr(md5(w),1,15))::BIGINT >> {i}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {2**i} ELSE 0 END)"
+        )
+    return (
+        "SELECT doc_id, CAST(" + " + ".join(bits) + " AS BIGINT) AS simhash FROM documents"
+    )
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 base64 field decode: encode props, run the decode_base64
+    processor, return the round-tripped value."""
+    from grove_spark.operators.processors import decode_base64
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.base64(F.col("props").cast("binary")).alias("props_b64")
+    )
+    return decode_base64(ev, ["props_b64"]).select(
+        "event_id", F.col("props_b64").alias("decoded")
+    )
+
+
+SQL_BASE64_DECODE = """
+SELECT event_id, decode(from_base64(to_base64(props::BLOB))) AS decoded
+FROM events
+"""
+
+
+def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 generator source (timestamps excluded: not deterministic)."""
+    from grove_spark.sources.scans import heartbeat
+
+    return heartbeat(spark, n=5).select("type", F.col("sequence").cast("bigint"))
+
+
+SQL_HEARTBEAT = """
+SELECT 'heartbeat' AS type, CAST(range AS BIGINT) AS sequence FROM range(5)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified against exact Jaccard>=0.5.
+
+    The xxhash64 signatures are engine-specific, so the DuckDB oracle is
+    the exact-Jaccard pair set: with 32 hashes / 8 bands the banding
+    curve at s>=0.5 gives P(candidate) ~ 1-(1-0.5^4)^8 ~ 0.42 per band
+    family — verification keeps only true pairs, and on the planted
+    near-dups (s ~ 0.9+) recall is ~1, making the sets equal."""
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16, verify=True
+    ).select("a", "b")
+
+
+SQL_MINHASH_LSH = """
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+    range(greatest(len(string_split(text,' '))-2, 0)),
+    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS shingle
+  FROM documents
+), sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT l.doc AS a, r.doc AS b, count(*) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+  GROUP BY 1, 2
+)
+SELECT a, b
+FROM pairs JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+
+QUERIES.update(
+    {
+        "fact_join": q_fact_join,
+        "semi_anti": q_semi_anti,
+        "rollup": q_rollup,
+        "pivot_status": q_pivot_status,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "base64_decode": q_base64_decode,
+        "heartbeat": q_heartbeat,
+        "minhash_lsh": q_minhash_lsh,
+    }
+)
+
+ORACLE.update(
+    {
+        "fact_join": SQL_FACT_JOIN,
+        "semi_anti": SQL_SEMI_ANTI,
+        "rollup": SQL_ROLLUP,
+        "pivot_status": SQL_PIVOT_STATUS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "base64_decode": SQL_BASE64_DECODE,
+        "heartbeat": SQL_HEARTBEAT,
+        "minhash_lsh": SQL_MINHASH_LSH,
+    }
+)

@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # duplicate map keys keep the LAST value — matches Python dict
+        # assignment order in the reference's zip_paths (zip_paths.py:100)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
