@@ -1,0 +1,272 @@
+"""Grove-style connector configuration -> Spark plan assembly.
+
+A user of the reference drives everything with JSON config documents
+(grove/models.py:73-124 ``ConnectorConfig``; templates/configuration/**):
+
+    {"connector": "gsuite_activities", "identity": "...", "key": "...",
+     "encoding": {"key": "base64"}, "operation": "drive", "delay": 60,
+     "processors": [{"processor": "split_path", "source": "events"}, ...],
+     "outputs": {"logs": "processed"}}
+
+This module accepts those same documents and assembles the fleet plan:
+
+* ``load_configs``    — S10 config scan (grove/configs/local_file.py:55-78),
+  disabled docs dropped (entrypoints/base.py:61-64);
+* ``hydrate_secrets`` — secrets-backend field fill
+  (grove/secrets/__init__.py:28-85) with pluggable provider + the
+  base64 config-field decode (grove/models.py:165-202);
+* ``assemble_fleet``  — ONE DataFrame plan for the whole fleet: configs
+  sharing a processor chain become one branch over a shared scan
+  (the reference dispatches 50 threads; here branches of one plan);
+* ``run_fleet``       — due() scheduling (T4) + per-connector pointer
+  resume + manifest commit via RunState.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from base64 import b64decode
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grove_spark.state.runstate import RunState, reference
+
+DEFAULT_FREQUENCY = 600  # grove/constants.py:63
+DEFAULT_OPERATION = "all"  # grove/constants.py:57
+# default output streams (grove/models.py:119-124)
+DEFAULT_OUTPUTS = {"logs": "raw", "processed": "processed"}
+
+
+@dataclass
+class ConnectorConfig:
+    """Behavioral twin of the reference's Pydantic ConnectorConfig —
+    unknown keys are kept in ``extras`` (extra=Extra.allow)."""
+
+    connector: str
+    identity: str
+    name: str = ""
+    key: str = ""
+    operation: str = DEFAULT_OPERATION
+    frequency: int = DEFAULT_FREQUENCY
+    delay: int = 0
+    disabled: bool = False
+    processors: List[dict] = field(default_factory=list)
+    outputs: Dict[str, str] = field(default_factory=lambda: dict(DEFAULT_OUTPUTS))
+    encoding: Dict[str, str] = field(default_factory=dict)
+    secrets: Dict[str, str] = field(default_factory=dict)
+    source: str = ""  # which `source` value in the sequences table this feeds from
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "ConnectorConfig":
+        known = {f for f in cls.__dataclass_fields__ if f != "extras"}
+        kw = {k: v for k, v in doc.items() if k in known}
+        extras = {k: v for k, v in doc.items() if k not in known}
+        cfg = cls(**kw, extras=extras)
+        if not cfg.source:
+            # convention: sequences.source is the vendor prefix of the
+            # connector name (okta_system_log -> okta)
+            cfg.source = cfg.connector.split("_")[0]
+        return cfg
+
+    def reference(self) -> str:
+        return reference(self.connector, self.identity, self.operation)
+
+    def chain_key(self) -> str:
+        return json.dumps(self.processors, sort_keys=True)
+
+
+def load_configs(path: str) -> List[ConnectorConfig]:
+    """S10: read every ``**/*.json`` config document; drop disabled."""
+    docs: List[dict] = []
+    for p in sorted(glob.glob(os.path.join(path, "**", "*.json"), recursive=True)):
+        with open(p) as f:
+            loaded = json.load(f)
+        docs.extend(loaded if isinstance(loaded, list) else [loaded])
+    return [c for c in map(ConnectorConfig.from_dict, docs) if not c.disabled]
+
+
+def hydrate_secrets(
+    configs: List[ConnectorConfig],
+    provider: Callable[[str], str],
+) -> List[ConnectorConfig]:
+    """Fill fields listed under ``secrets`` from the provider, then apply
+    the base64 config-field decode — same order as the reference
+    (secrets load grove/secrets/__init__.py:48-85, then root validator
+    decode grove/models.py:165-202)."""
+    for cfg in configs:
+        for fld, path in cfg.secrets.items():
+            value = provider(path)
+            if fld in cfg.__dataclass_fields__:
+                setattr(cfg, fld, value)
+            else:
+                cfg.extras[fld] = value
+        for fld, enc in cfg.encoding.items():
+            if enc != "base64":
+                continue
+            if fld in cfg.__dataclass_fields__:
+                setattr(cfg, fld, b64decode(getattr(cfg, fld) or "").decode())
+            elif fld in cfg.extras:
+                cfg.extras[fld] = b64decode(cfg.extras[fld] or "").decode()
+    return configs
+
+
+def env_secrets_provider(path: str) -> str:
+    """Default sandbox provider: secret 'paths' resolve from env vars
+    (production: SSM/Vault plugins, grove/secrets/aws_ssm.py)."""
+    return os.environ.get(path, "")
+
+
+def sinks_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]) -> DataFrame:
+    rows = []
+    for cfg in configs:
+        for descriptor, stream in cfg.outputs.items():
+            rows.append((cfg.connector, descriptor, stream, "s3"))
+    return spark.createDataFrame(
+        rows, "connector string, descriptor string, stream string, sink_kind string"
+    )
+
+
+def sources_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]) -> DataFrame:
+    rows = [
+        (c.source, c.connector, c.identity, c.operation, c.frequency, c.delay)
+        for c in configs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, connector string, identity string, operation string, "
+        "frequency int, delay int",
+    )
+
+
+def assemble_fleet(
+    spark: SparkSession,
+    configs: List[ConnectorConfig],
+    sequences: DataFrame,
+    watermarks: Optional[Dict[str, str]] = None,
+    pointer_col: str = "event_time",
+) -> DataFrame:
+    """One routed DataFrame for the whole fleet.
+
+    Configs sharing an identical processor chain form one branch: the
+    branch filters to its connectors' sources, applies per-connector
+    watermark predicates (OR of per-source ranges — still pushdown-able),
+    runs the shared chain for its 'processed' stream, and routes through
+    the configs' outputs. Branches union into one plan.
+    """
+    from grove_spark.operators.enrich import enrich
+    from grove_spark.operators.processors import apply_chain
+    from grove_spark.operators.routing import route
+
+    watermarks = watermarks or {}
+    sinks_dim = sinks_dim_from_configs(spark, configs)
+    sources_dim = sources_dim_from_configs(spark, configs)
+
+    groups: Dict[str, List[ConnectorConfig]] = {}
+    for cfg in configs:
+        groups.setdefault(cfg.chain_key(), []).append(cfg)
+
+    branches = []
+    for chain_json, members in groups.items():
+        chain = json.loads(chain_json)
+        srcs = [m.source for m in members]
+        branch = sequences.where(F.col("source").isin(srcs))
+        # per-connector incremental predicate (exact resume, D2/D3)
+        pred = None
+        for m in members:
+            wm = watermarks.get(m.reference())
+            p = (F.col("source") == m.source) & (
+                F.col(pointer_col).cast("string") > F.lit(wm) if wm else F.lit(True)
+            )
+            pred = p if pred is None else (pred | p)
+        if pred is not None:
+            branch = branch.where(pred)
+        branch = enrich(branch, sources_dim, on="source")
+        member_sinks = sinks_dim.where(
+            F.col("connector").isin([m.connector for m in members])
+        )
+        raw_routed = route(
+            branch, member_sinks.where(F.col("stream") != "processed"),
+            connector_col="connector", raw_col="tokens",
+        )
+        branches.append(raw_routed)
+        proc_sinks = member_sinks.where(F.col("stream") == "processed")
+        if chain:
+            processed = apply_chain(branch, chain)
+        else:
+            processed = branch
+        branches.append(
+            route(processed, proc_sinks, connector_col="connector", raw_col="tokens")
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def run_fleet(
+    spark: SparkSession,
+    configs: List[ConnectorConfig],
+    sequences_path: str,
+    state: RunState,
+    out_path: Optional[str] = None,
+    pointer_col: str = "event_time",
+    now: Optional[float] = None,
+) -> dict:
+    """The daemon tick (T4, grove/entrypoints/local_daemon.py:104-147):
+    pick configs that are due, build ONE fleet plan with their
+    watermarks, write, then commit each connector's new pointer +
+    metrics in the shared manifest."""
+    now = time.time() if now is None else now
+    due = [c for c in configs if state.due(c.reference(), c.frequency, now)]
+    if not due:
+        return {"due": 0, "per_connector": {}}
+
+    sequences = spark.read.parquet(sequences_path)
+    watermarks = {c.reference(): state.pointer(c.reference()) for c in due}
+    routed = assemble_fleet(spark, due, sequences, watermarks, pointer_col)
+    routed.persist()
+
+    run_id = state.new_run_id()
+    data_paths = []
+    stats = (
+        routed.groupBy("connector", "descriptor")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.max(F.col(pointer_col).cast("string")).alias("new_pointer"),
+        )
+        .collect()
+    )
+    if out_path and stats:
+        from grove_spark.operators.sinks import write_partitioned_parquet
+
+        run_dir = f"{out_path}/part-{run_id}"
+        write_partitioned_parquet(routed, run_dir)
+        data_paths.append(run_dir)
+
+    per_connector: Dict[str, dict] = {}
+    for r in stats:
+        d = per_connector.setdefault(
+            r["connector"], {"per_sink": {}, "new_pointer": None}
+        )
+        d["per_sink"][r["descriptor"]] = {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]}
+        d["new_pointer"] = max(d["new_pointer"] or "", r["new_pointer"])
+    for cfg in due:
+        got = per_connector.get(cfg.connector)
+        state.commit(
+            cfg.reference(), run_id,
+            pointer=(got or {}).get("new_pointer") or state.pointer(cfg.reference()),
+            metrics={"per_sink": (got or {}).get("per_sink", {})},
+            data_paths=data_paths if got else [],
+            now=now,
+        )
+    routed.unpersist()
+    return {"due": len(due), "run_id": run_id, "per_connector": per_connector}

@@ -700,3 +700,50 @@ ORACLE.update(
         "minhash_lsh": SQL_MINHASH_LSH,
     }
 )
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.sessionize: gap-based sessions
+    (30 min) per user over the events stream, via lag + running sum —
+    the classic sessionization window pattern."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = F.when(
+        ts_us - F.lag(ts_us).over(w) > gap_us, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).select("user_id", ts_us.alias("ts_us"), "sid")
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).drop("sid")
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+QUERIES["sessionize_batch"] = q_sessionize_batch
+ORACLE["sessionize_batch"] = SQL_SESSIONIZE_BATCH

@@ -37,6 +37,11 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another run committed between read and write (optimistic-lock
+    conflict — the analog of the reference's ConcurrencyException)."""
+
+
 def reference(connector: str, identity: str, operation: str = "all") -> str:
     """State key — parity with ConnectorConfig.reference()
     (grove/models.py:126-150): connector '.' md5(identity) ['.' operation]."""
@@ -72,9 +77,19 @@ class RunState:
 
     def _load(self) -> dict:
         if not os.path.exists(self._path):
-            return {"entries": {}, "history": []}
+            return {"entries": {}, "history": [], "version": 0}
         with open(self._path) as f:
-            return json.load(f)
+            state = json.load(f)
+        state.setdefault("version", 0)
+        return state
+
+    def version(self) -> int:
+        """Snapshot version for optimistic concurrency (the Spark-era
+        replacement for the reference's expiring execution lock,
+        grove/connectors/__init__.py:1067-1173: instead of locking up
+        front, a commit fails if another run committed in between —
+        Iceberg's optimistic snapshot-commit model)."""
+        return self._load()["version"]
 
     def get(self, key: str) -> dict | None:
         return self._load()["entries"].get(key)
@@ -111,11 +126,22 @@ class RunState:
         metrics: Optional[dict] = None,
         data_paths: Optional[list] = None,
         now: float | None = None,
+        expected_version: Optional[int] = None,
     ) -> None:
         """Atomically publish a run: data paths + pointer + dedup state +
         metrics in ONE manifest replace. The Iceberg analog is one
-        snapshot commit carrying summary properties."""
+        snapshot commit carrying summary properties.
+
+        With ``expected_version`` the commit is conditional: it raises
+        ConcurrentCommitError if another run committed since that
+        version was read — the reference's ConcurrencyException outcome
+        (tests/test_connectors_lock.py) without holding a lock."""
         state = self._load()
+        if expected_version is not None and state["version"] != expected_version:
+            raise ConcurrentCommitError(
+                f"state moved from v{expected_version} to v{state['version']}"
+            )
+        state["version"] += 1
         prev = state["entries"].get(key, {})
         state["entries"][key] = {
             "pointer": pointer if pointer is not None else prev.get("pointer"),
@@ -141,9 +167,11 @@ class RunState:
     def committed_paths(self) -> list:
         """Every data path any manifested run published — what a reader
         may consume. Orphan part-dirs from crashed runs are invisible."""
-        out = []
+        out: list = []
         for h in self._load()["history"]:
-            out.extend(h["data_paths"])
+            for p in h["data_paths"]:
+                if p not in out:  # fleet runs share one dir across connectors
+                    out.append(p)
         return out
 
     def is_committed(self, run_id: str) -> bool:

@@ -1,0 +1,136 @@
+"""Grove-style config documents driving the fleet: load -> secrets ->
+assemble -> scheduled run -> resume; optimistic commit conflicts."""
+
+import base64
+import json
+import os
+
+import pytest
+
+from grove_spark.config import (
+    ConnectorConfig,
+    assemble_fleet,
+    hydrate_secrets,
+    load_configs,
+    run_fleet,
+)
+from grove_spark.fixtures.generator import write_fixture
+from grove_spark.state.runstate import ConcurrentCommitError, RunState
+
+CONFIGS = [
+    {
+        # the canonical chained config (gsuite flattened_drive_activities
+        # shape, templates/configuration/gsuite/...json) adapted to the
+        # sequences table
+        "connector": "gsuite_activities",
+        "identity": "svc@example.org",
+        "name": "gsuite-example",
+        "operation": "drive",
+        "source": "gsuite",
+        "processors": [
+            {"name": "drop short", "processor": "filter_entries",
+             "filters": ["sql:n_tok < 20"]},
+        ],
+        "outputs": {"logs": "raw", "processed": "processed"},
+    },
+    {
+        "connector": "okta_system_log",
+        "identity": "example.okta.com",
+        "key": base64.b64encode(b"supersecret").decode(),
+        "encoding": {"key": "base64"},
+        "source": "okta",
+        "outputs": {"logs": "raw"},
+        "frequency": 60,
+    },
+    {
+        "connector": "disabled_thing",
+        "identity": "x",
+        "disabled": True,
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def config_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("configs")
+    for i, doc in enumerate(CONFIGS):
+        (d / f"{i:03d}.json").write_text(json.dumps(doc))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    return write_fixture(str(tmp_path_factory.mktemp("fleet_fix")), 600)
+
+
+def test_load_configs_drops_disabled(config_dir):
+    cfgs = load_configs(config_dir)
+    assert {c.connector for c in cfgs} == {"gsuite_activities", "okta_system_log"}
+    gs = next(c for c in cfgs if c.connector == "gsuite_activities")
+    assert gs.source == "gsuite" and gs.operation == "drive"
+    assert gs.outputs == {"logs": "raw", "processed": "processed"}
+
+
+def test_secrets_and_base64_field_decode(config_dir):
+    cfgs = load_configs(config_dir)
+    os.environ["GROVE_TEST_TOKEN"] = "tok-123"
+    for c in cfgs:
+        c.secrets = {"api_token": "GROVE_TEST_TOKEN"}
+    hydrate_secrets(cfgs, lambda p: os.environ.get(p, ""))
+    okta = next(c for c in cfgs if c.connector == "okta_system_log")
+    assert okta.key == "supersecret"  # base64 config-field decode
+    assert okta.extras["api_token"] == "tok-123"
+
+
+def test_assemble_fleet_routes_per_config(spark, config_dir, fixture_dir):
+    cfgs = load_configs(config_dir)
+    seq = spark.read.parquet(fixture_dir["sequences"])
+    routed = assemble_fleet(spark, cfgs, seq)
+    counts = {
+        (r["connector"], r["descriptor"]): r["count"]
+        for r in routed.groupBy("connector", "descriptor").count().collect()
+    }
+    n_gsuite = seq.where("source = 'gsuite'").count()
+    n_gsuite_kept = seq.where("source = 'gsuite' AND NOT n_tok < 20").count()
+    n_okta = seq.where("source = 'okta'").count()
+    assert counts[("gsuite_activities", "logs")] == n_gsuite
+    assert counts[("gsuite_activities", "processed")] == n_gsuite_kept
+    assert counts[("okta_system_log", "logs")] == n_okta
+    assert ("okta_system_log", "processed") not in counts  # not subscribed
+
+
+def test_run_fleet_schedule_and_resume(spark, config_dir, fixture_dir, tmp_path):
+    cfgs = load_configs(config_dir)
+    state = RunState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+
+    r1 = run_fleet(spark, cfgs, fixture_dir["sequences"], state, out_path=out, now=1000.0)
+    assert r1["due"] == 2
+    assert set(r1["per_connector"]) == {"gsuite_activities", "okta_system_log"}
+
+    # immediately after: nothing due (gsuite freq 600, okta 60)
+    r2 = run_fleet(spark, cfgs, fixture_dir["sequences"], state, out_path=out, now=1030.0)
+    assert r2["due"] == 0
+
+    # 90s later: only okta due; no new data -> empty run, pointer stable
+    okta_ref = next(c for c in cfgs if c.connector == "okta_system_log").reference()
+    ptr = state.pointer(okta_ref)
+    r3 = run_fleet(spark, cfgs, fixture_dir["sequences"], state, out_path=out, now=1090.0)
+    assert r3["due"] == 1 and r3["per_connector"] == {}
+    assert state.pointer(okta_ref) == ptr
+
+    # committed lineage is deduplicated across connectors sharing a run
+    assert len(state.committed_paths()) == 1
+    assert spark.read.parquet(state.committed_paths()[0]).count() > 0
+
+
+def test_optimistic_commit_conflict(tmp_path):
+    state = RunState(str(tmp_path / "state"))
+    v = state.version()
+    state.commit("k", "run-a", pointer="1", expected_version=v)
+    with pytest.raises(ConcurrentCommitError):
+        state.commit("k", "run-b", pointer="2", expected_version=v)
+    assert state.pointer("k") == "1"
+    # retry with the fresh version succeeds (the reference's retry path)
+    state.commit("k", "run-b", pointer="2", expected_version=state.version())
+    assert state.pointer("k") == "2"
