@@ -1,0 +1,73 @@
+"""Source shapes: incremental watermark scan, consistency-delay ceiling,
+CSV log scan, config scan with disabled-drop."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from grove_spark.sources.scans import (
+    config_scan,
+    csv_log_scan,
+    heartbeat,
+    incremental_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory, sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_incremental_scan_watermark(spark, events_path):
+    full = spark.read.parquet(events_path).count()
+    inc = incremental_scan(spark, events_path, "ts", watermark="2024-01-03 00:00:00")
+    n = inc.count()
+    assert 0 < n < full
+    assert inc.agg({"ts": "min"}).first()[0] > dt.datetime(2024, 1, 3)
+
+
+def test_consistency_delay_ceiling(spark, events_path):
+    """S2/T6: end = now - delay (github/audit_log.py:121); rows inside
+    the delay window are withheld until a later run."""
+    now = dt.datetime(2024, 1, 2, 0, 0, 0, tzinfo=dt.timezone.utc)
+    delayed = incremental_scan(
+        spark, events_path, "ts", delay_s=3600, now=now
+    )
+    mx = delayed.agg({"ts": "max"}).first()[0]
+    assert mx <= dt.datetime(2024, 1, 1, 23, 0, 0)
+    # without delay the same scan reaches later rows
+    undelayed = incremental_scan(spark, events_path, "ts")
+    assert undelayed.agg({"ts": "max"}).first()[0] > mx
+
+
+def test_csv_log_scan(spark, tmp_path):
+    """S7: SalesForce event logs arrive as CSV; rows at/before the
+    pointer are dropped (sf/event_log.py:190-200)."""
+    p = tmp_path / "log.csv"
+    p.write_text(
+        "TIMESTAMP_DERIVED,EVENT_TYPE,USER\n"
+        "2024-01-01T00:00:01Z,Login,a\n"
+        "2024-01-01T00:00:02Z,Logout,b\n"
+        "2024-01-01T00:00:03Z,Login,c\n"
+    )
+    out = csv_log_scan(spark, str(p), "TIMESTAMP_DERIVED",
+                       watermark="2024-01-01T00:00:01Z")
+    rows = out.collect()
+    assert sorted(r["USER"] for r in rows) == ["b", "c"]
+
+
+def test_config_scan_drops_disabled(spark, tmp_path):
+    (tmp_path / "a.json").write_text(json.dumps(
+        {"connector": "okta_system_log", "identity": "x", "disabled": False}))
+    (tmp_path / "b.json").write_text(json.dumps(
+        {"connector": "dead", "identity": "y", "disabled": True}))
+    out = config_scan(spark, str(tmp_path))
+    assert [r["connector"] for r in out.collect()] == ["okta_system_log"]
+
+
+def test_heartbeat_shape(spark):
+    rows = heartbeat(spark, n=3).collect()
+    assert len(rows) == 3
+    assert all(r["type"] == "heartbeat" for r in rows)
+    assert [r["sequence"] for r in rows] == [0, 1, 2]
