@@ -159,6 +159,14 @@ def assemble_fleet(
     watermark predicates (OR of per-source ranges — still pushdown-able),
     runs the shared chain for its 'processed' stream, and routes through
     the configs' outputs. Branches union into one plan.
+
+    Plan shape (verified in tests/test_plan_hygiene.py): every join is a
+    BroadcastHashJoin, zero Python, and each branch's ``In(source, [...])``
+    predicate reaches the parquet scan as a PushedFilter. Each branch
+    scans the fact table independently — at production scale the table is
+    partitioned/clustered by ``source`` (Iceberg), so branch scans read
+    disjoint file sets; in local tests callers may ``persist()`` the
+    sequences DataFrame to share one materialization.
     """
     from grove_spark.operators.enrich import enrich
     from grove_spark.operators.processors import apply_chain

@@ -747,3 +747,66 @@ FROM sess GROUP BY user_id, sid
 
 QUERIES["sessionize_batch"] = q_sessionize_batch
 ORACLE["sessionize_batch"] = SQL_SESSIONIZE_BATCH
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the expensive twin of the sketch)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch (approx_count_distinct) — the scale
+    path for distinct counting at 10^12 rows (no shuffle of values, fixed
+    sketch memory). No oracle: sketch estimates are engine-specific; the
+    driver records a rows-only check, and tests bound the error vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("bigint").alias("approx_users"),
+    )
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of event value per type (percentile_approx
+    — the t-digest-style path). No oracle (sketch-specific values)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q_50_95_99"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes, multi-probe) for the same
+    query vector as ann_bruteforce. No oracle: approximate by design;
+    tests bound recall on planted neighbors (test_similarity.py)."""
+    from grove_spark.operators.similarity import add_lsh_bucket, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    with_buckets = add_lsh_bucket(emb.where(F.col("vec_id") != 0), n_planes=6)
+    return lsh_topk(with_buckets, qvec, k=10, n_planes=6).select("vec_id")
+
+
+QUERIES.update({
+    "distinct_users": q_distinct_users,
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
+    "ann_lsh": q_ann_lsh,
+})
+ORACLE["distinct_users"] = SQL_DISTINCT_USERS
+
+# queries with no SQL-expressible oracle (sketches / approximate ops):
+# the driver records a weaker rows-only check for these by design
+NO_ORACLE = {"sketch_distinct", "sketch_quantiles", "ann_lsh"}

@@ -22,9 +22,11 @@ def test_entry_returns_rows(spark):
 def test_query_oracle_keys_in_sync():
     qs, oracle = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracle) <= set(qs)
-    # every query currently has an oracle (none are non-SQL-expressible yet)
+    # only declared sketch/approx ops may lack an oracle (rows-only check)
+    from grove_spark.queries import NO_ORACLE
+
     missing = set(qs) - set(oracle)
-    assert not missing, f"queries without oracle: {missing}"
+    assert missing == NO_ORACLE, f"undeclared oracle-less queries: {missing - NO_ORACLE}"
 
 
 def canon(v):

@@ -94,3 +94,23 @@ def test_chain_single_codegen_stage(spark):
     plan = plan_of(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fleet_plan_hygiene(spark, loaded):
+    """assemble_fleet over mixed chains: all-broadcast, no Python,
+    per-branch source sets pushed to the scan."""
+    from grove_spark.config import ConnectorConfig, assemble_fleet
+
+    seq, _, _ = loaded
+    cfgs = [
+        ConnectorConfig.from_dict({"connector": "okta_system_log", "identity": "a", "source": "okta"}),
+        ConnectorConfig.from_dict({
+            "connector": "gsuite_activities", "identity": "c", "source": "gsuite",
+            "processors": [{"processor": "filter_entries", "filters": ["sql:n_tok < 20"]}],
+        }),
+    ]
+    routed = assemble_fleet(spark, cfgs, seq)
+    plan = plan_of(routed)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "In(source" in plan or "EqualTo(source" in plan  # pushed source filter
