@@ -155,3 +155,83 @@ def topk_batch_matmul(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train the coarse quantizer: k-means on a driver-side SAMPLE
+    (standard IVF practice — centroid training is O(sample), not O(N);
+    the full table never leaves the executors)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid — one numpy matmul
+    per Arrow batch (mapInPandas; no per-row Python). At ingest time the
+    table is then clustered/partitioned by ``cell`` so queries touch
+    only probed cells' files."""
+    cents = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    out_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField(out, T.IntegerType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf[out] = (mat @ cents.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return emb.mapInPandas(kernel, out_schema)
+
+
+def ivf_topk(
+    emb_with_cell: DataFrame,
+    centroids: np.ndarray,
+    query_vec: List[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query: probe the ``n_probe`` cells whose centroids are nearest
+    the query, exact cosine re-rank inside. With cell-clustered storage
+    the non-probed cells' files are never read (partition pruning on the
+    cell column)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    cents = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probed = np.argsort(-(cents @ q))[:n_probe].tolist()
+    sub = emb_with_cell.where(F.col("cell").isin([int(c) for c in probed]))
+    return brute_force_topk(sub, query_vec, k, id_col, vec_col)

@@ -72,3 +72,38 @@ def test_bucket_deterministic(spark, emb):
     b2 = {r["vec_id"]: r["bucket"] for r in add_lsh_bucket(emb, n_planes=5).select("vec_id", "bucket").collect()}
     assert b1 == b2
     assert 1 < len(set(b1.values())) <= 32
+
+
+def test_ivf_recall_planted(spark):
+    """IVF with planted neighbors: the true top-10 live near the query,
+    so its cell (+probes) recovers them; recall >= 0.8."""
+    import pyspark.sql.types as T
+
+    from grove_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in rng.standard_normal(32)]) for i in range(300)]
+    rows += [(300 + i, [float(x) for x in q + rng.standard_normal(32) * 0.12]) for i in range(10)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema=schema)
+    qvec = [float(x) for x in q]
+
+    cents = ivf_train_centroids(df, n_centroids=8, sample=310, seed=3)
+    assigned = ivf_assign(df, cents)
+    # every vector got a cell; cells are non-degenerate
+    cells = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == 310
+    assert len(cells) >= 4
+
+    exact = {r["vec_id"] for r in brute_force_topk(df, qvec, k=10).collect()}
+    assert exact == set(range(300, 310))
+    approx = {r["vec_id"] for r in ivf_topk(assigned, cents, qvec, k=10, n_probe=3).collect()}
+    assert len(exact & approx) / 10 >= 0.8
