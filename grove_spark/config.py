@@ -151,7 +151,10 @@ def assemble_fleet(
     sequences: DataFrame,
     watermarks: Optional[Dict[str, str]] = None,
     pointer_col: str = "event_time",
-) -> DataFrame:
+    seen_states: Optional[Dict[str, Dict[str, list]]] = None,
+    hash_cols: tuple = ("doc_id", "tokens"),
+    return_deduped: bool = False,
+):
     """One routed DataFrame for the whole fleet.
 
     Configs sharing an identical processor chain form one branch: the
@@ -168,11 +171,14 @@ def assemble_fleet(
     disjoint file sets; in local tests callers may ``persist()`` the
     sequences DataFrame to share one materialization.
     """
+    from grove_spark.functions.hashing import entry_hash
+    from grove_spark.operators.dedup import watermark_literal
     from grove_spark.operators.enrich import enrich
     from grove_spark.operators.processors import apply_chain
     from grove_spark.operators.routing import route
 
     watermarks = watermarks or {}
+    seen_states = seen_states or {}
     sinks_dim = sinks_dim_from_configs(spark, configs)
     sources_dim = sources_dim_from_configs(spark, configs)
 
@@ -181,21 +187,45 @@ def assemble_fleet(
         groups.setdefault(cfg.chain_key(), []).append(cfg)
 
     branches = []
+    deduped_branches = []
     for chain_json, members in groups.items():
         chain = json.loads(chain_json)
         srcs = [m.source for m in members]
         branch = sequences.where(F.col("source").isin(srcs))
-        # per-connector incremental predicate (exact resume, D2/D3)
+        # per-connector incremental predicate (exact resume, D2/D3).
+        # The watermark literal is cast to the pointer column's native
+        # type (see operators/dedup.watermark_literal): the bare-column
+        # GreaterThan pushes to the parquet scan and numeric sequence
+        # pointers order correctly. Connectors with boundary seen-hashes
+        # use an INCLUSIVE bound + anti-join (exactly-once at the
+        # boundary, grove/connectors/__init__.py:627-671).
         pred = None
+        seen_rows = []
         for m in members:
             wm = watermarks.get(m.reference())
-            p = (F.col("source") == m.source) & (
-                F.col(pointer_col).cast("string") > F.lit(wm) if wm else F.lit(True)
-            )
+            seen = seen_states.get(m.reference(), {})
+            if wm:
+                lit_wm = watermark_literal(sequences, pointer_col, wm)
+                cmp = F.col(pointer_col) >= lit_wm if seen else F.col(pointer_col) > lit_wm
+            else:
+                cmp = F.lit(True)
+            p = (F.col("source") == m.source) & cmp
             pred = p if pred is None else (pred | p)
+            seen_rows += [(m.source, ptr, h) for ptr, hs in seen.items() for h in hs]
         if pred is not None:
             branch = branch.where(pred)
+        if seen_rows:
+            seen_df = spark.createDataFrame(
+                seen_rows, "source string, __p string, __h string"
+            )
+            branch = (
+                branch.withColumn("__h", entry_hash(list(hash_cols)))
+                .withColumn("__p", F.col(pointer_col).cast("string"))
+                .join(F.broadcast(seen_df), ["source", "__p", "__h"], "left_anti")
+                .drop("__p", "__h")
+            )
         branch = enrich(branch, sources_dim, on="source")
+        deduped_branches.append(branch)
         member_sinks = sinks_dim.where(
             F.col("connector").isin([m.connector for m in members])
         )
@@ -216,6 +246,11 @@ def assemble_fleet(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
+    if return_deduped:
+        ded = deduped_branches[0]
+        for b in deduped_branches[1:]:
+            ded = ded.unionByName(b, allowMissingColumns=True)
+        return out, ded
     return out
 
 
@@ -233,23 +268,31 @@ def run_fleet(
     watermarks, write, then commit each connector's new pointer +
     metrics in the shared manifest."""
     now = time.time() if now is None else now
+    base_version = state.version()
     due = [c for c in configs if state.due(c.reference(), c.frequency, now)]
     if not due:
         return {"due": 0, "per_connector": {}}
 
     sequences = spark.read.parquet(sequences_path)
     watermarks = {c.reference(): state.pointer(c.reference()) for c in due}
-    routed = assemble_fleet(spark, due, sequences, watermarks, pointer_col)
+    seen_states = {c.reference(): state.seen_hashes(c.reference()) for c in due}
+    routed, deduped = assemble_fleet(
+        spark, due, sequences, watermarks, pointer_col,
+        seen_states=seen_states, return_deduped=True,
+    )
     routed.persist()
 
     run_id = state.new_run_id()
     data_paths = []
+    # max pointer is computed on the NATIVE column type, stringified only
+    # at the manifest boundary — max(cast-to-string) mis-orders numeric
+    # sequence pointers ("9" > "10") and would commit a wrong watermark
     stats = (
         routed.groupBy("connector", "descriptor")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_tok").alias("sum_n_tok"),
-            F.max(F.col(pointer_col).cast("string")).alias("new_pointer"),
+            F.max(F.col(pointer_col)).alias("new_pointer"),
         )
         .collect()
     )
@@ -266,15 +309,60 @@ def run_fleet(
             r["connector"], {"per_sink": {}, "new_pointer": None}
         )
         d["per_sink"][r["descriptor"]] = {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]}
-        d["new_pointer"] = max(d["new_pointer"] or "", r["new_pointer"])
-    for cfg in due:
-        got = per_connector.get(cfg.connector)
-        state.commit(
-            cfg.reference(), run_id,
-            pointer=(got or {}).get("new_pointer") or state.pointer(cfg.reference()),
-            metrics={"per_sink": (got or {}).get("per_sink", {})},
-            data_paths=data_paths if got else [],
-            now=now,
+        # native-type comparison across this connector's descriptors
+        if d["new_pointer"] is None or (
+            r["new_pointer"] is not None and r["new_pointer"] > d["new_pointer"]
+        ):
+            d["new_pointer"] = r["new_pointer"]
+
+    # per-connector boundary seen-hashes: rows AT each connector's max
+    # pointer, hashed like the next run's anti-join input. One small job
+    # over the already-pruned batch (broadcast join on the 1-row-per-
+    # connector max).
+    from grove_spark.functions.hashing import entry_hash
+
+    mx = deduped.groupBy("connector").agg(F.max(pointer_col).alias(pointer_col))
+    brows = (
+        deduped.join(F.broadcast(mx), ["connector", pointer_col], "inner")
+        .select(
+            "connector",
+            F.col(pointer_col).cast("string").alias("pointer"),
+            entry_hash(["doc_id", "tokens"]).alias("hash"),
         )
+        .distinct()
+        .collect()
+    ) if stats else []
+    new_seen: Dict[str, Dict[str, list]] = {}
+    for r in brows:
+        new_seen.setdefault(r["connector"], {}).setdefault(r["pointer"], []).append(r["hash"])
+
+    updates = []
+    for cfg in due:
+        ref = cfg.reference()
+        got = per_connector.get(cfg.connector)
+        new_ptr = (got or {}).get("new_pointer")
+        seen = new_seen.get(cfg.connector)
+        ptr_str = None
+        if seen:
+            ptr_str = next(iter(seen))
+            if watermarks.get(ref) is not None and ptr_str == str(watermarks[ref]):
+                seen[ptr_str] = sorted(
+                    set(seen[ptr_str]) | set(seen_states.get(ref, {}).get(ptr_str, []))
+                )
+        updates.append(
+            {
+                "key": ref,
+                # prefer the boundary rows' own (Spark-cast) pointer string
+                # so watermark and seen keys stringify identically
+                "pointer": ptr_str
+                or (str(new_ptr) if new_ptr is not None else state.pointer(ref)),
+                "seen": seen if seen else (seen_states.get(ref) or None),
+                "metrics": {"per_sink": (got or {}).get("per_sink", {})},
+                "data_paths": data_paths if got else [],
+            }
+        )
+    # ONE atomic manifest replace for the whole fleet tick; conditional on
+    # the version observed before planning (optimistic concurrency).
+    state.commit_many(updates, run_id, now=now, expected_version=base_version)
     routed.unpersist()
     return {"due": len(due), "run_id": run_id, "per_connector": per_connector}

@@ -8,12 +8,17 @@ column expressions, so the hot path stays inside whole-stage codegen.
 Supported path grammar (covers every path used by the reference's shipped
 configs and fixtures): dot-separated segments, with single-quoted segments
 allowed to contain literal dots — ``a.'b.c'.d`` -> segments ``a``, ``b.c``,
-``d`` (mirrors grove/helpers/parsing.py:51-73 behaviorally).
+``d`` (mirrors grove/helpers/parsing.py:51-73 behaviorally) — plus
+JMESPath list indexing ``a[0].b`` and comparison expressions
+``path <op> literal`` (compile_predicate) so reference configs using the
+richer JMESPath surface (grove/processors/filter_entries.py:44,
+extract_paths.py:86) port verbatim.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+import re
+from typing import Any, Dict, List, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,12 +47,32 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s in segments if s != ""]
 
 
+_INDEX_RE = re.compile(r"^(?P<base>.*?)(?P<idx>(\[\d+\])+)$")
+
+
+def _split_indices(segment: str) -> Tuple[str, List[int]]:
+    """``"params[0][1]"`` -> ``("params", [0, 1])``; no-index segments
+    pass through unchanged."""
+    m = _INDEX_RE.match(segment)
+    if not m or not m.group("idx"):
+        return segment, []
+    return m.group("base"), [int(i) for i in re.findall(r"\[(\d+)\]", m.group("idx"))]
+
+
 def path_col(path: str) -> Column:
-    """Compile a dotted path into a (possibly nested) column reference."""
+    """Compile a dotted path into a (possibly nested) column reference.
+    List indexing compiles to ``getItem`` (JMESPath ``a[0].b``; Spark's
+    element_at would be 1-based — JMESPath is 0-based like getItem)."""
     parts = quote_aware_split(path)
-    col = F.col("`%s`" % parts[0].replace("`", ""))
+    base, idxs = _split_indices(parts[0])
+    col = F.col("`%s`" % base.replace("`", ""))
+    for i in idxs:
+        col = col.getItem(i)
     for part in parts[1:]:
-        col = col.getField(part)
+        base, idxs = _split_indices(part)
+        col = col.getField(base)
+        for i in idxs:
+            col = col.getItem(i)
     return col
 
 
@@ -56,16 +81,77 @@ def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
     parts = quote_aware_split(path)
     current: T.DataType = schema
     for part in parts:
+        base, idxs = _split_indices(part)
         if isinstance(current, T.MapType):
             current = current.valueType
-            continue
-        if not isinstance(current, T.StructType):
+        elif isinstance(current, T.StructType):
+            try:
+                current = current[base].dataType
+            except KeyError:
+                return None
+        else:
             return None
-        try:
-            current = current[part].dataType
-        except KeyError:
-            return None
+        for _ in idxs:
+            if not isinstance(current, T.ArrayType):
+                return None
+            current = current.elementType
     return current
+
+
+# JMESPath-style comparison: ``path <op> literal`` (filter_entries.py:44
+# semantics — the reference evaluates these with jmespath.search per row;
+# here they compile once into a Catalyst predicate).
+_CMP_RE = re.compile(
+    r"^(?P<path>[^=!<>]+?)\s*(?P<op>==|!=|>=|<=|>|<)\s*(?P<lit>.+)$"
+)
+
+
+def _parse_literal(raw: str):
+    raw = raw.strip()
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in ("'", '"', "`"):
+        return raw[1:-1]
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw  # bare word -> string literal (lenient, like jmespath `raw`)
+
+
+def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
+    """Compile ``path <op> literal`` to a boolean Column; None when the
+    string is not a comparison (callers fall back to path-truthiness).
+
+    An unresolvable path yields lit(False) — JMESPath's null comparand
+    never satisfies a comparison. Spark's three-valued logic applies to
+    null VALUES at a resolvable path (documented deviation: JMESPath
+    treats ``null != x`` as true; callers coalesce nulls to False)."""
+    m = _CMP_RE.match(expr_str.strip())
+    if not m:
+        return None
+    path = m.group("path").strip()
+    value = _parse_literal(m.group("lit"))
+    if resolve_type(schema, path) is None:
+        return F.lit(False)
+    col = path_col(path)
+    op = m.group("op")
+    if op == "==":
+        return col == F.lit(value)
+    if op == "!=":
+        return col != F.lit(value)
+    if op == ">=":
+        return col >= F.lit(value)
+    if op == "<=":
+        return col <= F.lit(value)
+    if op == ">":
+        return col > F.lit(value)
+    return col < F.lit(value)
 
 
 def truthy(col: Column, dtype: T.DataType | None) -> Column:

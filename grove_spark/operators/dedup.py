@@ -64,13 +64,34 @@ def dedup_by_hash(
 
 def boundary_hashes(df: DataFrame, hash_cols: Sequence[str], pointer_col: str) -> DataFrame:
     """New seen-hash state: hashes of entries sharing the max pointer value
-    (the bounded-state rule, reference :634-637 / hash_entries :604-625)."""
-    hashed = df.select(
+    (the bounded-state rule, reference :634-637 / hash_entries :604-625).
+
+    The max is taken on the NATIVE pointer type (string max mis-orders
+    numeric sequence pointers); the stringification for the manifest
+    happens after the boundary rows are selected."""
+    mx = df.select(F.col(pointer_col).alias("__mx")).agg(F.max("__mx").alias("__mx"))
+    rows = df.join(F.broadcast(mx), df[pointer_col] == mx["__mx"], "inner")
+    return rows.select(
         F.col(pointer_col).cast("string").alias("pointer"),
         entry_hash(hash_cols).alias("hash"),
-    )
-    mx = hashed.agg(F.max("pointer").alias("pointer"))
-    return hashed.join(F.broadcast(mx), "pointer", "inner").distinct()
+    ).distinct()
+
+
+def watermark_literal(df: DataFrame, pointer_col: str, pointer: str):
+    """A watermark literal cast to the pointer COLUMN's native type.
+
+    Run-state stores pointers as strings (they cross a JSON manifest);
+    comparing ``cast(col as string) > lit`` would (a) block parquet
+    predicate pushdown — the cast wraps the column, so the scan re-reads
+    the full table every run — and (b) mis-order numeric sequence
+    pointers (string "10" < "9"): silent data loss for
+    zitadel-style monotonic sequences (grove/connectors/zitadel/
+    events.py:22). Casting the LITERAL to the column's type keeps the
+    column bare, so the GreaterThan lands in PushedFilters and numeric /
+    timestamp ordering is native. Genuinely opaque string cursors hit the
+    StringType branch and compare as strings, unchanged.
+    """
+    return F.lit(str(pointer)).cast(df.schema[pointer_col].dataType)
 
 
 def dedup_by_pointer(
@@ -78,14 +99,20 @@ def dedup_by_pointer(
     pointer_col: str,
     pointer: str | None,
     log_order: str = "CHRONOLOGICAL",
+    inclusive: bool = False,
 ) -> DataFrame:
     """Incremental watermark filter (D2/D3).
 
     Chronological: keep rows strictly after the stored pointer.
     Reverse-chronological sources have no scan-order constraint in Spark;
     the same exact predicate applies. When no pointer exists yet (first
-    run) everything is kept.
+    run) everything is kept. ``inclusive`` re-admits rows AT the pointer
+    (pair it with a seen-hash anti-join, dedup_by_hash) so late arrivals
+    sharing the boundary timestamp are not lost — the reference's
+    deduplicate_by_hash boundary rule (grove/connectors/__init__.py:627-671).
     """
     if pointer is None:
         return df
-    return df.where(F.col(pointer_col).cast("string") > F.lit(str(pointer)))
+    wm = watermark_literal(df, pointer_col, pointer)
+    col = F.col(pointer_col)
+    return df.where(col >= wm if inclusive else col > wm)

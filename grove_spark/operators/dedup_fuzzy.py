@@ -28,13 +28,21 @@ from pyspark.sql import functions as F
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per document, as one exploded row per
-    (doc_id, shingle). Pure Catalyst: split + transform + explode."""
+    (doc_id, shingle). Pure Catalyst: split + transform + explode.
+
+    Documents with fewer than ``n`` words produce no shingles (the row is
+    dropped by the explode of an empty array) — guarded explicitly:
+    ``sequence(0, k-1)`` with k=0 yields a DESCENDING [0,-1] in Spark and
+    the slice at start 0 throws INVALID_PARAMETER_VALUE.START."""
     words = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.withColumn(out, F.explode(F.array_distinct(grams)))
 
 
@@ -44,18 +52,26 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word n-gram shingle sets.
 
     Returns (a, b, common, n_a, n_b) with a < b and
     common/(n_a+n_b-common) >= threshold. The self-join is on shingle —
-    the canonical inverted-index pair generation; at scale, frequent
-    shingles dominate, so they can be pre-filtered by document frequency
-    (``max_df``) exactly like real dedup pipelines drop boilerplate.
+    the canonical inverted-index pair generation. ``max_df`` drops
+    shingles occurring in more than that many documents BEFORE the
+    self-join (boilerplate shingles otherwise go quadratic on their
+    posting list — one shingle in 10^6 docs is 10^12 join rows); the
+    Jaccard is then computed over the filtered shingle sets, exactly like
+    production dedup pipelines drop boilerplate from both numerator and
+    denominator.
     """
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), "shingle"
     )
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.where(F.col("__df") <= max_df), "shingle").drop("__df")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("l")
     b = sh.alias("r")
@@ -165,13 +181,36 @@ def minhash_dedup_pairs(
 
     With verification the result is exact w.r.t. the threshold (LSH only
     prunes the candidate space), so recall is governed by the banding
-    curve 1-(1-s^r)^b."""
+    curve 1-(1-s^r)^b.
+
+    Verification is O(candidates), NOT all-pairs: shingles are semi-joined
+    down to candidate docs first, collected into per-doc sets, and each
+    candidate pair's exact Jaccard computed via array_intersect. A global
+    shingle self-join here would be the exact N² cost LSH exists to avoid.
+    """
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     if not verify:
         return cands
-    exact = ngram_jaccard_pairs(docs, threshold, n, id_col, text_col).select("a", "b")
-    return cands.join(exact, ["a", "b"], "inner")
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    cand_docs = (
+        cands.select(F.col("a").alias("doc"))
+        .union(cands.select(F.col("b").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    j = cands.join(
+        sets.select(F.col("doc").alias("a"), F.col("sh_set").alias("sh_a")), "a"
+    ).join(sets.select(F.col("doc").alias("b"), F.col("sh_set").alias("sh_b")), "b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return j.where(jac >= F.lit(threshold)).select("a", "b")
 
 
 def simhash(
@@ -184,19 +223,25 @@ def simhash(
 
     Each distinct word hashes to 64 bits; the signature bit i is the sign
     of sum over words of (bit_i ? +1 : -1). Near-dups differ in few bits
-    (compare with ``hamming``)."""
+    (compare with ``hamming``).
+
+    The hashed-word array is materialized ONCE in a separate projection:
+    Catalyst does no CSE across aggregate lambdas, so inlining xxhash64
+    into each of the 64 bit aggregates would re-hash every word 64×
+    (CollapseProject keeps the two projections apart because ``__hw`` is
+    non-cheap and referenced many times)."""
     words = F.array_distinct(F.split(F.col(text_col), " "))
-    hashed = F.transform(words, lambda w: F.xxhash64(w))
+    pre = docs.select(id_col, F.transform(words, lambda w: F.xxhash64(w)).alias("__hw"))
     bit_sums = [
         F.aggregate(
-            hashed,
+            F.col("__hw"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    tmp = docs.select(id_col, *bit_sums)
+    tmp = pre.select(id_col, *bit_sums)
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)

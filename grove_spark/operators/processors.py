@@ -94,20 +94,24 @@ def extract_paths(
 def filter_entries(df: DataFrame, filters: Sequence[str]) -> DataFrame:
     """Drop a row when ANY filter matches (filter_entries.py:35-47).
 
-    Each filter is either a dotted path (dropped when the value is
-    *truthy*, Python rules) or an arbitrary SQL boolean expression
-    prefixed ``sql:`` — our typed-world extension of the reference's
-    JMESPath query filters.
+    Each filter is one of:
+    * a JMESPath-style comparison ``path <op> literal`` (the reference's
+      query filters, filter_entries.py:44) — compiled to one Catalyst
+      predicate;
+    * a dotted path — dropped when the value is *truthy* (Python rules);
+    * an arbitrary SQL boolean expression prefixed ``sql:`` — the
+      typed-world escape hatch.
     """
+    from grove_spark.functions.paths import compile_predicate, truthy
+
     drop = F.lit(False)
     for f in filters:
         if f.startswith("sql:"):
             cond = F.expr(f[4:])
         else:
-            dtype = resolve_type(df.schema, f)
-            from grove_spark.functions.paths import truthy
-
-            cond = truthy(path_col(f), dtype)
+            cond = compile_predicate(df.schema, f)
+            if cond is None:
+                cond = truthy(path_col(f), resolve_type(df.schema, f))
         drop = drop | F.coalesce(cond, F.lit(False))
     return df.filter(~drop)
 

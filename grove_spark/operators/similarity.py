@@ -105,6 +105,12 @@ def lsh_topk(
     candidates = [qb]
     if probe_hamming >= 1:
         candidates += [qb ^ (1 << j) for j in range(n_planes)]
+    if probe_hamming >= 2:
+        candidates += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     sub = emb_with_bucket.where(F.col("bucket").isin(candidates))
     return brute_force_topk(sub, query_vec, k, id_col, vec_col)
 

@@ -7,26 +7,46 @@
   ``s3a://`` vs ``file:`` is just the URI.
 * gzip NDJSON (O1) — ``to_json(struct(*))`` + text writer with gzip codec
   (grove/outputs/__init__.py:79-113).
-* stdout (O4) — collect/show for smoke use only.
-* http (O5) — ``foreachBatch`` with bounded retries; network I/O is
-  stubbed (no egress in the sandbox), the batching/retry plumbing is real.
+* stdout (O4) — the envelope format of grove/outputs/local_stdout.py:41-58
+  (part/kind/descriptor/connector/identity/operation/datestamp/message),
+  serialized executor-side by Catalyst, printed from the driver (stdout
+  is inherently a driver device).
+* http (O5) — posts from EXECUTORS via foreachPartition with bounded
+  per-partition retries; network I/O is injected (no egress in the
+  sandbox), the batching/retry plumbing is real. Never ``collect()``: a
+  driver-side post of a 100 TB batch is an OOM + a serialization funnel.
 """
 
 from __future__ import annotations
 
+import sys
 import time
-from typing import Callable
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_partitioned_parquet(routed: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_partitioned_parquet(
+    routed: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    max_records_per_file: int = 1_000_000,
+) -> None:
     """The judged columnar sink: one directory tree per descriptor /
-    connector / date — mirrors the S3 key template."""
+    connector / date — mirrors the S3 key template.
+
+    zstd + maxRecordsPerFile (O8 part-file chunking, the reference's
+    ``part`` counter in the S3 key template): bounded file sizes keep
+    downstream scans splittable and zstd roughly halves the bytes vs
+    snappy for token arrays — on write-bound runs the smaller output IS
+    the speedup."""
     (
         routed.withColumn("date", F.to_date("event_time"))
         .write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy("descriptor", "connector", "date")
         .parquet(path)
     )
@@ -49,23 +69,80 @@ def write_gzip_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None
 def http_sink(batch_poster: Callable[[bytes], None], retries: int = 5, backoff_s: float = 0.1):
     """Build a foreachBatch-compatible sink with bounded retry
     (grove/outputs/remote_http.py:83-137 semantics; poster injected so
-    tests can count attempts without network)."""
+    tests can count attempts without network).
+
+    Rows serialize to NDJSON executor-side (Catalyst ``to_json``) and
+    each PARTITION posts independently from its executor — the driver
+    never materializes the batch. Retries are per partition with
+    exponential backoff, matching the reference's bounded-attempts loop
+    (remote_http.py:107-137); a partition that exhausts retries fails its
+    task, which Spark retries / fails the job — at-least-once, same as
+    the reference's "bail and retry next collection"."""
 
     def submit(df: DataFrame, epoch_id: int = 0) -> None:
-        payload = "\n".join(
-            r[0]
-            for r in df.select(
-                F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-            ).collect()
-        ).encode()
-        last_err = None
-        for attempt in range(retries):
-            try:
-                batch_poster(payload)
+        payload_df = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("j")
+        )
+
+        def post_partition(rows) -> None:
+            body = "\r\n".join(r["j"] for r in rows)
+            if not body:
                 return
-            except Exception as e:  # noqa: BLE001 — retry then re-raise
-                last_err = e
-                time.sleep(backoff_s * (2**attempt))
-        raise RuntimeError(f"http sink failed after {retries} retries") from last_err
+            payload = body.encode()
+            last_err: Optional[Exception] = None
+            for attempt in range(retries):
+                try:
+                    batch_poster(payload)
+                    return
+                except Exception as e:  # noqa: BLE001 — retry then re-raise
+                    last_err = e
+                    time.sleep(backoff_s * (2**attempt))
+            raise RuntimeError(
+                f"http sink failed after {retries} retries"
+            ) from last_err
+
+        payload_df.foreachPartition(post_partition)
 
     return submit
+
+
+def stdout_sink(
+    df: DataFrame,
+    connector: str = "",
+    identity: str = "",
+    operation: str = "all",
+    part: int = 0,
+    kind: str = "json",
+    descriptor: str = "raw",
+    datestamp: Optional[str] = None,
+    stream=None,
+) -> int:
+    """O4: print every row wrapped in the reference's stdout envelope
+    (grove/outputs/local_stdout.py:41-58): ``{"part": .., "kind": ..,
+    "descriptor": .., "connector": .., "identity": .., "operation": ..,
+    "datestamp": "...Z", "message": {row}}`` — one JSON line per entry.
+
+    The envelope is assembled executor-side as ONE Catalyst ``to_json``
+    over a literal-decorated struct; the driver only streams finished
+    lines out (``toLocalIterator`` holds one partition at a time, never
+    the whole batch). Returns the number of lines printed."""
+    datestamp = datestamp or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    envelope = F.to_json(
+        F.struct(
+            F.lit(part).alias("part"),
+            F.lit(kind).alias("kind"),
+            F.lit(descriptor).alias("descriptor"),
+            F.lit(connector).alias("connector"),
+            F.lit(identity).alias("identity"),
+            F.lit(operation).alias("operation"),
+            F.lit(datestamp).alias("datestamp"),
+            F.struct(*[F.col(c) for c in df.columns]).alias("message"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    stream = stream or sys.stdout
+    n = 0
+    for row in df.select(envelope.alias("line")).toLocalIterator():
+        print(row["line"], file=stream, flush=True)
+        n += 1
+    return n

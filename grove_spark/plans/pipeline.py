@@ -42,6 +42,10 @@ class PipelineResult:
     counts: DataFrame
     observed: dict
     run_id: str | None = None
+    # the post-watermark, post-hash-dedup stream BEFORE routing fan-out:
+    # boundary seen-hashes are computed here so they match what the next
+    # run's dedup_by_hash sees on its input
+    deduped: DataFrame | None = None
 
 
 def build_pipeline(
@@ -60,12 +64,21 @@ def build_pipeline(
     seen_state: DataFrame | None = None,
     repartition: bool = True,
     processed_chain: list | None = None,
+    watermark_inclusive: bool = False,
+    hash_cols: tuple = ("doc_id", "tokens"),
 ) -> PipelineResult:
     """Assemble the full plan lazily; nothing executes here."""
     df = sequences
     if watermark is not None:
-        # incremental scan: exact predicate, pushed down to the file scan
-        df = dedup_by_pointer(df, pointer_col, watermark)
+        # incremental scan: exact predicate, pushed down to the file scan.
+        # With a seen-state the predicate is INCLUSIVE (>=) and the
+        # anti-join below removes the already-emitted boundary rows —
+        # late rows sharing the committed pointer are kept, not dropped
+        # (exactly-once at the boundary, reference :627-671)
+        df = dedup_by_pointer(
+            df, pointer_col, watermark,
+            inclusive=watermark_inclusive or seen_state is not None,
+        )
     if seen_state is not None:
         # D1 content-hash dedup against the previous run's boundary state
         # (the reference hashes every entry on every save() and drops
@@ -75,13 +88,14 @@ def build_pipeline(
         # NO shuffle.
         from grove_spark.operators.dedup import dedup_by_hash
 
-        df = dedup_by_hash(df, seen_state, ["doc_id", "tokens"], pointer_col)
+        df = dedup_by_hash(df, seen_state, list(hash_cols), pointer_col)
     if dedup_batch:
         # exact within-collection dedup (a full shuffle on the content
         # hash — only needed when one collection can itself contain dups)
         from grove_spark.operators.dedup import dedup_within_batch
 
-        df = dedup_within_batch(df, ["doc_id", "tokens"])
+        df = dedup_within_batch(df, list(hash_cols))
+    deduped = df  # boundary-hash source: same rows/columns the next run hashes
     if "raw" in df.columns:
         df = parse_stage(df, "raw", pattern, engine=parse_engine)
     df = enrich(df, sources_dim, on="source")
@@ -149,7 +163,7 @@ def build_pipeline(
     counts = sink_counts(routed)
     if repartition:
         routed = salted_repartition(routed, n_partitions, n_salt=n_salt)
-    return PipelineResult(routed=routed, counts=counts, observed=obs)  # type: ignore[arg-type]
+    return PipelineResult(routed=routed, counts=counts, observed=obs, deduped=deduped)  # type: ignore[arg-type]
 
 
 def run_incremental(
@@ -162,20 +176,38 @@ def run_incremental(
     connector_key: str = "fleet",
     identity: str = "default",
     pointer_col: str = "event_time",
+    hash_cols: tuple = ("doc_id", "tokens"),
     **plan_kw,
 ) -> PipelineResult:
-    """One resumable run: read watermark from run-state, build the plan
-    with the incremental predicate, write sinks, then commit watermark +
-    metrics + data lineage in one manifest (exactly-once on resume).
+    """One resumable run: read watermark + boundary seen-hashes from
+    run-state, build the plan with an INCLUSIVE incremental predicate and
+    a seen-hash anti-join, write sinks, then commit watermark + new
+    boundary hashes + metrics + data lineage in one manifest.
+
+    The inclusive predicate + anti-join pair is what makes the boundary
+    exactly-once: rows arriving later with event_time EQUAL to the
+    committed pointer are ingested (a strict > would silently drop them),
+    while rows already emitted at that pointer are removed by their
+    content hash — the reference's deduplicate_by_hash contract
+    (grove/connectors/__init__.py:627-671) without its dupe window.
     """
     key = reference(connector_key, identity)
+    base_version = state.version()
     watermark = state.pointer(key)
+    seen = state.seen_hashes(key)
     run_id = state.new_run_id()
 
     sequences = spark.read.parquet(sequences_path)
+    seen_df = None
+    if watermark is not None and seen:
+        seen_df = spark.createDataFrame(
+            [(p, h) for p, hashes in seen.items() for h in hashes],
+            "pointer string, hash string",
+        )
     result = build_pipeline(
         sequences, sources_dim, sinks_dim,
-        watermark=watermark, pointer_col=pointer_col, **plan_kw,
+        watermark=watermark, pointer_col=pointer_col,
+        seen_state=seen_df, hash_cols=hash_cols, **plan_kw,
     )
 
     # several actions follow (write, counts, max-pointer) — persist the
@@ -190,11 +222,27 @@ def run_incremental(
         run_dir = f"{out_path}/part-{run_id}"
         write_partitioned_parquet(result.routed, run_dir)
         data_paths.append(run_dir)
-    new_ptr = (
-        result.routed.agg(F.max(F.col(pointer_col).cast("string"))).first()[0]
+    # boundary state for the NEXT run: hashes of rows AT the new max
+    # pointer (native-type max — see boundary_hashes). One small job over
+    # the predicate-pruned batch; the pointer string is Spark's own cast,
+    # so the next run's string round-trip is self-consistent.
+    from grove_spark.operators.dedup import boundary_hashes
+
+    brows = (
+        boundary_hashes(result.deduped, list(hash_cols), pointer_col).collect()
         if counts_rows
-        else watermark
+        else []
     )
+    if brows:
+        new_ptr = brows[0]["pointer"]
+        new_seen = {new_ptr: sorted(r["hash"] for r in brows)}
+        if watermark is not None and new_ptr == str(watermark):
+            # pointer did not advance: keep the previously-seen hashes at
+            # this boundary too (reference :634-637 bounded-state rule)
+            merged = set(new_seen[new_ptr]) | set(seen.get(new_ptr, []))
+            new_seen[new_ptr] = sorted(merged)
+    else:
+        new_ptr, new_seen = watermark, (seen if watermark is not None else None)
     metrics = {
         "per_sink": {r["descriptor"]: {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]} for r in counts_rows},
     }
@@ -205,7 +253,8 @@ def run_incremental(
 
     state.commit(
         key, run_id,
-        pointer=new_ptr, metrics=metrics, data_paths=data_paths,
+        pointer=new_ptr, seen=new_seen, metrics=metrics, data_paths=data_paths,
+        expected_version=base_version,
     )
     result.routed.unpersist()
     result.run_id = run_id

@@ -42,9 +42,13 @@ def incremental_scan(
     imposes the reference's late-data ceiling ``end = now - delay``
     (github/audit_log.py:121, bigquery_query.py:106). Both predicates
     push down to the file scan (PushedFilters)."""
+    from grove_spark.operators.dedup import watermark_literal
+
     df = spark.read.format(fmt).load(path)
     if watermark is not None:
-        df = df.where(F.col(pointer_col) > F.lit(watermark))
+        # literal cast to the column's native type: pushdown survives and
+        # numeric sequence pointers order numerically, not as strings
+        df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
     if delay_s > 0:
         now = now or dt.datetime.now(dt.timezone.utc)
         ceiling = (now - dt.timedelta(seconds=delay_s)).replace(tzinfo=None)
@@ -62,9 +66,11 @@ def csv_log_scan(
     """CSV event-log scan (S7 — sf/event_log.py:190-200 dict-ifies rows;
     here the csv reader infers the schema and the pointer filter is a
     real predicate instead of a per-row comparison)."""
+    from grove_spark.operators.dedup import watermark_literal
+
     df = spark.read.option("header", str(header).lower()).option("inferSchema", "true").csv(path)
     if watermark is not None:
-        df = df.where(F.col(pointer_col) > F.lit(watermark))
+        df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
     return df
 
 
@@ -102,7 +108,15 @@ def jdbc_pull_scan(
     """SQL pull scan (S5 — snowflake/query_history.py:15-24): the
     parameterized `WHERE ptr > %(pointer)s` becomes a pushed dbtable
     subquery; `batch_size` flushing becomes partitioned parallel reads.
-    Requires a JDBC driver on the classpath (not present in sandbox)."""
+    Requires a JDBC driver on the classpath (not present in sandbox).
+
+    The watermark is quote-escaped and the pointer column validated as a
+    bare identifier before embedding — run-state values can in principle
+    be attacker-influenced (stored pointer from a scraped API)."""
+    if not pointer_col.replace("_", "").isalnum():
+        raise ValueError(f"pointer_col must be a bare identifier: {pointer_col!r}")
+    if watermark is not None:
+        watermark = str(watermark).replace("'", "''")
     sub = f"(SELECT * FROM ({query}) t" + (
         f" WHERE {pointer_col} > '{watermark}') s" if watermark else ") s"
     )

@@ -27,6 +27,7 @@ Pure batch-side Python on the driver; no executor state.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -34,7 +35,12 @@ import tempfile
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
+
+try:  # POSIX-only; the manifest os.replace is still atomic without it
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -72,6 +78,24 @@ class RunState:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._path = os.path.join(root, "_state.json")
+        self._lock_path = os.path.join(root, "_state.lock")
+
+    @contextlib.contextmanager
+    def _exclusive(self):
+        """Exclusive advisory lock across load -> replace, so two local
+        committers cannot both read version N and silently lose one
+        update (the reference's execution lock, grove/connectors/
+        __init__.py:1067-1173, held only for the commit instant; the
+        production analog is Iceberg's atomic swap on the catalog)."""
+        if fcntl is None:  # pragma: no cover
+            yield
+            return
+        with open(self._lock_path, "a+") as lk:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
     # -- reads ---------------------------------------------------------------
 
@@ -135,34 +159,67 @@ class RunState:
         With ``expected_version`` the commit is conditional: it raises
         ConcurrentCommitError if another run committed since that
         version was read — the reference's ConcurrencyException outcome
-        (tests/test_connectors_lock.py) without holding a lock."""
-        state = self._load()
-        if expected_version is not None and state["version"] != expected_version:
-            raise ConcurrentCommitError(
-                f"state moved from v{expected_version} to v{state['version']}"
-            )
-        state["version"] += 1
-        prev = state["entries"].get(key, {})
-        state["entries"][key] = {
-            "pointer": pointer if pointer is not None else prev.get("pointer"),
-            "previous_pointer": prev.get("pointer"),
-            "last_run": time.time() if now is None else now,
-            "seen": seen if seen is not None else prev.get("seen", {}),
-            "run_id": run_id,
-        }
-        state["history"].append(
-            {
-                "run_id": run_id,
-                "key": key,
-                "pointer": pointer,
-                "metrics": metrics or {},
-                "data_paths": data_paths or [],
-            }
+        (tests/test_connectors_lock.py). The version check and the
+        manifest replace happen under one exclusive file lock, so the
+        check cannot be raced by another local committer."""
+        self.commit_many(
+            [
+                {
+                    "key": key,
+                    "pointer": pointer,
+                    "seen": seen,
+                    "metrics": metrics,
+                    "data_paths": data_paths,
+                }
+            ],
+            run_id,
+            now=now,
+            expected_version=expected_version,
         )
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._path)  # the atomic "snapshot commit"
+
+    def commit_many(
+        self,
+        updates: List[dict],
+        run_id: str,
+        now: float | None = None,
+        expected_version: Optional[int] = None,
+    ) -> None:
+        """Atomically publish ONE run covering many state keys (the fleet
+        tick): every connector's pointer + seen + metrics land in a single
+        manifest replace — all-or-nothing, exactly like one Iceberg
+        snapshot commit carrying the whole batch."""
+        with self._exclusive():
+            state = self._load()
+            if expected_version is not None and state["version"] != expected_version:
+                raise ConcurrentCommitError(
+                    f"state moved from v{expected_version} to v{state['version']}"
+                )
+            state["version"] += 1
+            for u in updates:
+                key = u["key"]
+                prev = state["entries"].get(key, {})
+                pointer = u.get("pointer")
+                seen = u.get("seen")
+                state["entries"][key] = {
+                    "pointer": pointer if pointer is not None else prev.get("pointer"),
+                    "previous_pointer": prev.get("pointer"),
+                    "last_run": time.time() if now is None else now,
+                    "seen": seen if seen is not None else prev.get("seen", {}),
+                    "run_id": run_id,
+                }
+                state["history"].append(
+                    {
+                        "run_id": run_id,
+                        "key": key,
+                        "pointer": pointer,
+                        "metrics": u.get("metrics") or {},
+                        "data_paths": u.get("data_paths") or [],
+                    }
+                )
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._path)  # the atomic "snapshot commit"
 
     def committed_paths(self) -> list:
         """Every data path any manifested run published — what a reader

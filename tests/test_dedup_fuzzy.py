@@ -46,6 +46,36 @@ def test_word_shingles(spark, docs):
     assert sh[0]["shingle"] == "completely different text"
 
 
+def test_word_shingles_short_docs_dont_crash(spark):
+    """Docs with fewer than n words yield no shingles (and must not hit
+    Spark's descending sequence(0,-1) + slice(_, 0, n) runtime error)."""
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "one"), (3, ""), (4, "exactly three words")],
+        schema=SCHEMA,
+    )
+    rows = word_shingles(df, n=3).collect()
+    assert {r["doc_id"] for r in rows} == {4}
+    assert rows[0]["shingle"] == "exactly three words"
+    # and the full pipelines survive a short doc mixed into the corpus
+    mixed = spark.createDataFrame([(1, BASE), (2, BASE), (3, "hi")], schema=SCHEMA)
+    got = {(r["a"], r["b"]) for r in minhash_dedup_pairs(mixed, threshold=0.5).collect()}
+    assert got == {(1, 2)}
+    got2 = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(mixed, threshold=0.5).collect()}
+    assert got2 == {(1, 2)}
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate(spark):
+    """A shingle present in every doc (boilerplate) is excluded from both
+    the join and the Jaccard denominator when max_df caps it."""
+    boiler = "copyright acme corp all rights reserved"
+    df = spark.createDataFrame(
+        [(1, f"{BASE} {boiler}"), (2, f"{NEAR} {boiler}"), (3, f"{FAR} {boiler}")],
+        schema=SCHEMA,
+    )
+    with_cap = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=2).collect()}
+    assert (1, 2) in with_cap and not any(3 in p for p in with_cap)
+
+
 def test_ngram_jaccard_finds_planted_pairs(spark, docs):
     pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     got = {(r["a"], r["b"]) for r in pairs}

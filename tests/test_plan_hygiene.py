@@ -47,13 +47,42 @@ def test_arrow_parse_is_vectorized_not_row(spark, loaded):
     assert "BatchEvalPython" not in plan
 
 
+def _pushed_filters(plan: str) -> str:
+    """Concatenated PushedFilters lines of a formatted plan."""
+    return " ".join(ln for ln in plan.splitlines() if "PushedFilters:" in ln)
+
+
 def test_watermark_filter_pushed_to_scan(spark, loaded):
+    """The GreaterThan must be INSIDE PushedFilters — an IsNotNull-only
+    pushdown means every incremental run re-reads the full table. (The
+    round-1 version of this test accepted IsNotNull alone, which let the
+    cast-the-column watermark bug ship.)"""
     seq, sources, sinks = loaded
     res = build_pipeline(
         seq, sources, sinks, watermark="2024-01-01 00:00:30", n_partitions=4
     )
-    plan = plan_of(res.routed)
-    assert "PushedFilters: [IsNotNull(event_time)" in plan or "GreaterThan(event_time" in plan
+    pushed = _pushed_filters(plan_of(res.routed))
+    assert "GreaterThan(event_time" in pushed, pushed
+
+
+def test_numeric_pointer_watermark_pushes_and_orders(spark):
+    """Zitadel-style monotonic sequence pointers (grove/connectors/
+    zitadel/events.py:22): pointer '9' must keep seq 10 (numeric order,
+    not string order where '10' < '9'), and the GreaterThan must push."""
+    from grove_spark.operators.dedup import dedup_by_pointer
+
+    df = spark.createDataFrame([(9,), (10,), (100,)], "seq long")
+    out = dedup_by_pointer(df, "seq", "9")
+    assert sorted(r["seq"] for r in out.collect()) == [10, 100]
+
+    # pushdown check needs a file scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/t")
+        scan = dedup_by_pointer(spark.read.parquet(f"{d}/t"), "seq", "9")
+        pushed = _pushed_filters(plan_of(scan))
+        assert "GreaterThan(seq,9)" in pushed, pushed
 
 
 def test_dim_joins_broadcast(spark, loaded):
@@ -94,6 +123,38 @@ def test_chain_single_codegen_stage(spark):
     plan = plan_of(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_verify_has_no_allpairs_shingle_join(spark):
+    """LSH verification must be O(candidates): the plan may group shingles
+    per candidate doc, but must never self-join the shingle column (the
+    all-pairs inverted-index cost LSH exists to avoid)."""
+    import re
+
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e f"), ("d2", "a b c d e g")], "doc_id string, text string"
+    )
+    plan = plan_of(minhash_dedup_pairs(docs, verify=True))
+    joins = re.findall(r"(?:Join|BroadcastHashJoin|SortMergeJoin).*", plan)
+    assert not any(re.search(r"shingle#\d+ = shingle#", j) for j in joins), joins
+    assert "array_intersect" in plan  # per-candidate exact verify
+
+
+def test_fleet_watermark_pushes_numeric_and_timestamp(spark, loaded):
+    """assemble_fleet's per-connector predicates must reach the scan as
+    typed GreaterThans (not post-scan string casts)."""
+    from grove_spark.config import ConnectorConfig, assemble_fleet
+
+    seq, _, _ = loaded
+    cfgs = [
+        ConnectorConfig.from_dict({"connector": "okta_system_log", "identity": "a", "source": "okta"}),
+    ]
+    wm = {cfgs[0].reference(): "2024-01-01 00:00:30"}
+    routed = assemble_fleet(spark, cfgs, seq, watermarks=wm)
+    pushed = _pushed_filters(plan_of(routed))
+    assert "GreaterThan(event_time" in pushed, pushed
 
 
 def test_fleet_plan_hygiene(spark, loaded):
