@@ -83,13 +83,32 @@ class ConnectorConfig:
 
 
 def load_configs(path: str) -> List[ConnectorConfig]:
-    """S10: read every ``**/*.json`` config document; drop disabled."""
+    """S10: read every ``**/*.json`` config document; drop disabled.
+
+    A malformed document (bad JSON, missing required fields) is logged
+    and SKIPPED, never fatal — one broken config must not stop the whole
+    fleet's collection (grove/configs/local_file.py:68-76)."""
+    import logging
+
     docs: List[dict] = []
     for p in sorted(glob.glob(os.path.join(path, "**", "*.json"), recursive=True)):
-        with open(p) as f:
-            loaded = json.load(f)
+        try:
+            with open(p) as f:
+                loaded = json.load(f)
+        except (json.JSONDecodeError, OSError) as err:
+            logging.getLogger(__name__).error("skipping config %s: %s", p, err)
+            continue
         docs.extend(loaded if isinstance(loaded, list) else [loaded])
-    return [c for c in map(ConnectorConfig.from_dict, docs) if not c.disabled]
+    out: List[ConnectorConfig] = []
+    for doc in docs:
+        try:
+            cfg = ConnectorConfig.from_dict(doc)
+        except TypeError as err:
+            logging.getLogger(__name__).error("skipping invalid config: %s", err)
+            continue
+        if not cfg.disabled:
+            out.append(cfg)
+    return out
 
 
 def hydrate_secrets(
