@@ -142,6 +142,25 @@ def env_secrets_provider(path: str) -> str:
     return os.environ.get(path, "")
 
 
+def file_secrets_provider(store_path: str) -> Callable[[str], str]:
+    """Local-file secrets backend (the Vault/SSM stand-in the reference
+    registers as a plugin, grove/secrets/aws_ssm.py:35-86): a JSON
+    document mapping secret paths to values. Values may be nested —
+    ``a/b/c`` walks dicts, exactly like an SSM parameter hierarchy."""
+    with open(store_path) as f:
+        store = json.load(f)
+
+    def provider(path: str) -> str:
+        node: Any = store
+        for seg in path.strip("/").split("/"):
+            if not isinstance(node, dict) or seg not in node:
+                return ""
+            node = node[seg]
+        return node if isinstance(node, str) else json.dumps(node)
+
+    return provider
+
+
 def sinks_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]) -> DataFrame:
     rows = []
     for cfg in configs:

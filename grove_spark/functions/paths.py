@@ -47,55 +47,94 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s in segments if s != ""]
 
 
-_INDEX_RE = re.compile(r"^(?P<base>.*?)(?P<idx>(\[\d+\])+)$")
+_INDEX_RE = re.compile(r"^(?P<base>.*?)(?P<idx>(\[(?:\d+|\*)\])+)$")
 
 
-def _split_indices(segment: str) -> Tuple[str, List[int]]:
-    """``"params[0][1]"`` -> ``("params", [0, 1])``; no-index segments
-    pass through unchanged."""
+def _split_indices(segment: str) -> Tuple[str, List]:
+    """``"params[0][1]"`` -> ``("params", [0, 1])``; ``"events[*]"`` ->
+    ``("events", ["*"])``; no-index segments pass through unchanged."""
     m = _INDEX_RE.match(segment)
     if not m or not m.group("idx"):
         return segment, []
-    return m.group("base"), [int(i) for i in re.findall(r"\[(\d+)\]", m.group("idx"))]
+    idxs = [
+        i if i == "*" else int(i)
+        for i in re.findall(r"\[(\d+|\*)\]", m.group("idx"))
+    ]
+    return m.group("base"), idxs
+
+
+def _tokens(path: str) -> List[Tuple[str, object]]:
+    """Flatten a path into (kind, value) tokens:
+    ``a[0].b[*].c`` -> [(field,a),(index,0),(field,b),(wild,None),(field,c)]."""
+    toks: List[Tuple[str, object]] = []
+    for part in quote_aware_split(path):
+        base, idxs = _split_indices(part)
+        toks.append(("field", base))
+        for i in idxs:
+            toks.append(("wild", None) if i == "*" else ("index", i))
+    return toks
+
+
+def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
+    """Apply tokens to ``col``. A wildcard maps the REMAINDER of the path
+    over every element (JMESPath projection ``a[*].b`` -> list of b)."""
+    for t, (kind, v) in enumerate(toks):
+        if kind == "field":
+            col = col.getField(v)
+        elif kind == "index":
+            # F.get, not getItem: out-of-bounds yields NULL (JMESPath
+            # semantics) instead of ANSI INVALID_ARRAY_INDEX
+            col = F.get(col, v)
+        else:  # wildcard projection
+            rest = toks[t + 1:]
+            return F.transform(col, lambda x: _compile_tokens(rest, x))
+    return col
 
 
 def path_col(path: str) -> Column:
     """Compile a dotted path into a (possibly nested) column reference.
-    List indexing compiles to ``getItem`` (JMESPath ``a[0].b``; Spark's
-    element_at would be 1-based — JMESPath is 0-based like getItem)."""
-    parts = quote_aware_split(path)
-    base, idxs = _split_indices(parts[0])
-    col = F.col("`%s`" % base.replace("`", ""))
-    for i in idxs:
-        col = col.getItem(i)
-    for part in parts[1:]:
-        base, idxs = _split_indices(part)
-        col = col.getField(base)
-        for i in idxs:
-            col = col.getItem(i)
-    return col
+
+    List indexing compiles to ``getItem`` (JMESPath ``a[0].b`` is 0-based
+    like getItem; Spark's element_at would be 1-based). A ``[*]``
+    wildcard compiles to a ``transform`` projection — ``a[*].b`` yields
+    the array of every element's ``b`` (JMESPath list projection)."""
+    toks = _tokens(path)
+    kind, base = toks[0]
+    col = F.col("`%s`" % str(base).replace("`", ""))
+    return _compile_tokens(toks[1:], col)
 
 
 def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
-    """Walk ``schema`` along ``path``; None if the path doesn't resolve."""
-    parts = quote_aware_split(path)
-    current: T.DataType = schema
-    for part in parts:
-        base, idxs = _split_indices(part)
-        if isinstance(current, T.MapType):
-            current = current.valueType
-        elif isinstance(current, T.StructType):
-            try:
-                current = current[base].dataType
-            except KeyError:
-                return None
-        else:
-            return None
-        for _ in idxs:
-            if not isinstance(current, T.ArrayType):
-                return None
-            current = current.elementType
-    return current
+    """Walk ``schema`` along ``path``; None if the path doesn't resolve.
+    A ``[*]`` projection yields ArrayType(of the projected remainder)."""
+    toks = _tokens(path)
+
+    def walk(current: T.DataType, i: int) -> T.DataType | None:
+        while i < len(toks):
+            kind, v = toks[i]
+            if kind == "field":
+                if isinstance(current, T.MapType):
+                    current = current.valueType
+                elif isinstance(current, T.StructType):
+                    try:
+                        current = current[v].dataType
+                    except KeyError:
+                        return None
+                else:
+                    return None
+            elif kind == "index":
+                if not isinstance(current, T.ArrayType):
+                    return None
+                current = current.elementType
+            else:  # wildcard
+                if not isinstance(current, T.ArrayType):
+                    return None
+                inner = walk(current.elementType, i + 1)
+                return T.ArrayType(inner) if inner is not None else None
+            i += 1
+        return current
+
+    return walk(schema, 0)
 
 
 # JMESPath-style comparison: ``path <op> literal`` (filter_entries.py:44

@@ -1111,15 +1111,91 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection through the LSH-bucketed
+    operator (operators/dedup_fuzzy.embedding_near_pairs): plant exact
+    copies of vec_id < 50 (id + 10000) into the corpus and require the
+    bucketed path to find every (i, i+10000) pair — copies share every
+    hyperplane sign, so a missed pair means broken bucketing. Ids only:
+    float sims are engine-bit-specific, the planted-pair SET is not
+    (the corpus' max non-identical cosine is ~0.37 << threshold)."""
+    from grove_spark.operators.dedup_fuzzy import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    pairs = embedding_near_pairs(corpus, threshold=0.999)
+    return pairs.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + 10000 AS BIGINT) AS b
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+def q_media_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column path end-to-end: synthesize a GSMM media
+    blob per event (deterministic little-endian header built via
+    hex/unhex in BOTH engines' plans), run the Catalyst header parser
+    (operators/multimodal.parse_media_header — no Python), emit the typed
+    metadata. The oracle computes the expected metadata arithmetically."""
+    from grove_spark.operators.multimodal import parse_media_header
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    k = (F.col("event_id") % 3).cast("int")
+    w = (F.lit(300) + F.col("event_id") % 700).cast("int")
+    h = (F.lit(200) + (F.col("event_id") * 7) % 600).cast("int")
+    d = ((F.col("event_id") * 13) % 100000).cast("int")
+
+    def le(col, nbytes):  # little-endian hex of an int column
+        parts = [
+            F.lpad(F.hex((col / F.lit(256**i)).cast("int") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    hexstr = F.concat(F.lit("47534D4D"), le(k, 1), le(w, 2), le(h, 2), le(d, 4))
+    blobs = ev.withColumn("blob", F.unhex(hexstr))
+    out = parse_media_header(blobs, "blob")
+    return out.select(
+        "event_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+SQL_MEDIA_HEADER = """
+SELECT event_id,
+       CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       'x-grove/' || CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+       CAST(300 + event_id % 700 AS INT) AS width,
+       CAST(200 + (event_id * 7) % 600 AS INT) AS height,
+       CAST((event_id * 13) % 100000 AS INT) AS duration_ms
+FROM events
+"""
+
+
 QUERIES.update({
     "fleet_mixed": q_fleet_mixed,
     "extract_nested": q_extract_nested,
     "stream_tumbling": q_stream_tumbling,
+    "embedding_neardup": q_embedding_neardup,
+    "media_header": q_media_header,
 })
 ORACLE.update({
     "fleet_mixed": SQL_FLEET_MIXED,
     "extract_nested": SQL_EXTRACT_NESTED,
     "stream_tumbling": SQL_TUMBLING_COUNTS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "media_header": SQL_MEDIA_HEADER,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker
