@@ -1,0 +1,100 @@
+"""Near-duplicate CLUSTERING: from pairwise matches to canonical docs.
+
+Pair detection (dedup_fuzzy) finds edges; a real training-data dedup
+keeps ONE document per connected component of the near-dup graph. This
+is iterative min-label propagation (the standard large-scale connected
+components — HashToMin / alternating-star family):
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+repeated until fixpoint. Each round is ONE shuffle (join edges to labels
++ groupBy min); rounds needed = O(log(diameter)) with the star-contract
+step, O(diameter) in the plain form used here. Near-dup graphs are
+overwhelmingly tiny stars (a doc and its copies), so the loop converges
+in 2-3 rounds in practice; ``max_iter`` bounds adversarial chains.
+
+Scale notes: labels are (node, bigint) — two narrow columns, shuffled on
+node. ``localCheckpoint`` every few rounds truncates the lineage so the
+plan does not grow with iterations (the classic iterative-algorithm trap
+on Spark). Convergence is detected with one count per round on the rows
+that changed — cheap, map-side-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components of the undirected pair graph.
+
+    Returns (node, component) where component = MIN node id reachable —
+    deterministic canonical labels. Input ids must be orderable (any
+    type with a total order; min() defines the canonical doc).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iter):
+        # candidate label per node: min of own and all neighbours' labels
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Cluster near-dup pairs and mark the keeper per cluster.
+
+    Returns (doc_id, cluster, is_keeper): every doc in ``docs`` appears;
+    docs in no pair form their own singleton cluster; the keeper is the
+    MIN doc_id of its component (deterministic canonicalization — the
+    usual keep-first rule of training-data dedup)."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = docs.select(F.col(id_col)).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        id_col,
+        cluster.alias("cluster"),
+        (cluster == F.col(id_col)).alias("is_keeper"),
+    )

@@ -1198,6 +1198,138 @@ ORACLE.update({
     "media_header": SQL_MEDIA_HEADER,
 })
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators/temporal.asof_join — the
+    union-and-carry-forward plan, one shuffle): each event picks the
+    latest order of its user at or before the event time. Order times
+    are mapped into the event month arithmetically (o_orderkey % 40
+    days) so matches genuinely vary; DuckDB's native ASOF JOIN is the
+    oracle."""
+    from grove_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 40 AS INT), TIMESTAMP '2024-01-01')"
+        ).alias("od"),
+        "o_orderkey",
+    )
+    right = orders.groupBy("user_id", "od").agg(F.max("o_orderkey").alias("okey"))
+    out = asof_join(ev, right, on="user_id", left_time="ts", right_time="od")
+    return out.select(
+        "event_id", F.col("okey").cast("bigint").alias("okey")
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, CAST(o.okey AS BIGINT) AS okey
+FROM events e ASOF LEFT JOIN (
+  SELECT o_custkey AS user_id,
+         CAST('2024-01-01' AS TIMESTAMP) + (o_orderkey % 40) * INTERVAL 1 DAY AS od,
+         max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+) o ON e.user_id = o.user_id AND e.ts >= o.od
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/temporal.range_join_binned): events
+    joined to overlapping value bands via bin-exploded EQUI-join instead
+    of the BroadcastNestedLoop Spark would pick for the raw inequality.
+    Bands 0-9 cover [i*50, i*50+30) with gaps; band 10 spans everything,
+    so rows match 0..2 bands. The oracle is the plain inequality join."""
+    from grove_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(10).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 30.0).alias("hi"),
+    ).unionByName(
+        spark.createDataFrame([(10, 0.0, 500.0)], "band int, lo double, hi double")
+    )
+    joined = range_join_binned(ev, bands, "value", bin_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+        F.max("event_id").cast("bigint").alias("last_id"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band, i*50.0 AS lo, i*50.0+30.0 AS hi FROM range(10) t(i)
+  UNION ALL SELECT 10, 0.0, 500.0
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(max(event_id) AS BIGINT) AS last_id
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING end-to-end: exact-Jaccard pairs -> connected
+    components (iterative min-label propagation,
+    operators/dedup_cluster.py) -> one keeper per cluster. The oracle
+    computes the same components with a recursive CTE."""
+    from grove_spark.operators.dedup_cluster import dedup_clusters
+    from grove_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3).select("a", "b")
+    out = dedup_clusters(pairs, docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_keeper",
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+    range(greatest(len(string_split(text,' '))-2, 0)),
+    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS shingle
+  FROM documents
+), sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+cand AS (
+  SELECT l.doc AS a, r.doc AS b, count(*) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM cand JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+QUERIES.update({
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "dedup_clusters": q_dedup_clusters,
+})
+ORACLE.update({
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+})
+
 # queries with no SQL-expressible oracle: the driver records a weaker
 # rows-only check for these by design
 NO_ORACLE: set = set()

@@ -1,0 +1,122 @@
+"""AS-OF join, binned range join, and connected-components clustering —
+the custom operators Spark lacks as built-ins, checked on hand-built
+cases (the gate checks them against DuckDB ASOF / recursive CTEs)."""
+
+import datetime as dt
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from grove_spark.operators.dedup_cluster import connected_components, dedup_clusters
+from grove_spark.operators.temporal import asof_join, range_join_binned
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T10:00:00"), 100.0),
+            ("A", ts("2024-01-01T10:05:00"), 101.0),
+            ("B", ts("2024-01-01T10:02:00"), 50.0),
+        ],
+        "sym string, qt timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01T10:03:00")),   # -> px 100 (10:00)
+            (2, "A", ts("2024-01-01T10:05:00")),   # tie -> px 101 (<= matches)
+            (3, "B", ts("2024-01-01T10:01:00")),   # before any B quote -> null
+            (4, "B", ts("2024-01-01T11:00:00")),   # -> px 50
+            (5, "C", ts("2024-01-01T10:00:00")),   # no quotes at all -> null
+        ],
+        "tid long, sym string, tt timestamp",
+    )
+
+
+def test_asof_join_backward_semantics(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="sym", left_time="tt", right_time="qt")
+    got = {r["tid"]: r["px"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: None, 4: 50.0, 5: None}
+    assert set(out.columns) == {"tid", "sym", "tt", "px"}
+
+
+def test_asof_join_tolerance(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_time="tt", right_time="qt",
+        tolerance="30 minutes",
+    )
+    got = {r["tid"]: r["px"] for r in out.collect()}
+    assert got[4] is None  # 58 min stale quote dropped
+    assert got[1] == 100.0
+
+
+def test_asof_join_is_single_shuffle(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="sym", left_time="tt", right_time="qt")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # union + ONE window over (key, time): no join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one per union input, same partitioning
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_join_binned_matches_inequality(spark):
+    probe = spark.range(0, 200).select(
+        F.col("id").alias("pid"), (F.col("id") * 0.7).alias("value")
+    )
+    ranges = spark.createDataFrame(
+        [(0, 5.0, 20.0), (1, 15.0, 16.0), (2, 100.0, 140.0)],
+        "band int, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["band"])
+        for r in range_join_binned(probe, ranges, "value", bin_width=10.0).collect()
+    }
+    want = {
+        (r["pid"], r["band"])
+        for r in probe.join(
+            ranges, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want and got  # overlapping ranges produce multi-matches
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    probe = spark.range(0, 100).select((F.col("id") * 1.0).alias("value"))
+    ranges = spark.createDataFrame([(0, 5.0, 20.0)], "band int, lo double, hi double")
+    out = range_join_binned(probe, ranges, "value", bin_width=10.0)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_connected_components_chain_and_star(spark):
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter > 1 forces iteration) + star 10-(11,12)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12)],
+        "a long, b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_keeper_and_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster"], r["is_keeper"]) for r in dedup_clusters(pairs, docs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True),  # untouched docs are their own keepers
+    }
