@@ -42,6 +42,7 @@ CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_ca
 HEADLINE = [
     "route_counts", "sink_telemetry", "split_path", "dedup_exact",
     "zip_paths", "window_topk", "quality_score", "ann_bruteforce",
+    "minhash_lsh", "sessionize_batch", "asof_join", "fleet_mixed",
 ]
 
 
@@ -179,8 +180,11 @@ def main() -> None:
     results = {}
     for cpus in levels:
         spark = build_session(cpus)
+        # co-tenant bursts on this VM hit single trials hard (observed
+        # 0.75-0.83 swings in the 2->8 ratio run-to-run): more trials,
+        # min-of-trials — the best trial is the uncontended one
         wall, rows = best_of(spark, scaling_paths, n_partitions=cpus,
-                             trials=3 if cpus > 2 else 2, warmups=2 if cpus > 2 else 1)
+                             trials=4 if cpus > 2 else 3, warmups=2)
         results[cpus] = (wall, rows)
         spark.stop()
 
@@ -191,7 +195,11 @@ def main() -> None:
 
     spark = build_session(CPUS)
     compute_run(spark, e2e_paths, CPUS)  # warm the fresh JVM
+    # single-disk write leg is the noisiest number on this box (observed
+    # 27k-67k seq/s for the identical commit): best of 2
     e2e_wall, e2e_rows = e2e_run(spark, e2e_paths, n_partitions=CPUS)
+    w2, _ = e2e_run(spark, e2e_paths, n_partitions=CPUS)
+    e2e_wall = min(e2e_wall, w2)
 
     import __spark_entry__ as entrymod
 

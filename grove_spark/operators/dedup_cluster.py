@@ -43,6 +43,11 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize ONCE: the edge list is re-joined every round, and
+        # its lineage is the whole pair-generation pipeline (shingle
+        # explode + self-join) — recomputing THAT per iteration would
+        # dominate everything at scale
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -188,10 +188,16 @@ def minhash_dedup_pairs(
     candidate pair's exact Jaccard computed via array_intersect. A global
     shingle self-join here would be the exact N² cost LSH exists to avoid.
     """
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # Both sigs and cands are consumed by MULTIPLE downstream subtrees
+    # (banding reads sigs twice for the bucket-size cap; verification
+    # reads cands three times); without materialization each reuse
+    # recomputes the whole shingle+signature pipeline. Narrow frames
+    # (ids + 64 longs / id pairs) — cheap to hold, huge to recompute.
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     if not verify:
         return cands
+    cands = cands.persist()
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), "shingle"
     )

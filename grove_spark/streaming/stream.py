@@ -78,6 +78,44 @@ def windowed_sink_counts(routed: DataFrame, window: str = "1 minute") -> DataFra
     )
 
 
+def manifest_sink(state, out_path: str, key: str = "stream.default"):
+    """foreachBatch sink with EXACTLY-ONCE manifest commits: each
+    micro-batch writes its own ``part-<key>-b<epoch>`` directory and
+    publishes {data path, new pointer, per-sink counts} in one atomic
+    RunState commit (T1 — the streaming twin of run_incremental's
+    protocol).
+
+    Replay-safe two ways: Spark re-runs a failed batch under the SAME
+    epoch id, and (a) an already-committed epoch is skipped up front,
+    (b) a crash between the data write and the manifest publish leaves
+    an orphan directory readers never see (committed_paths). Together:
+    at-least-once execution, exactly-once effect."""
+    from pyspark.sql import functions as F  # noqa: F811 (executor pickle)
+
+    from grove_spark.operators.sinks import write_partitioned_parquet
+
+    def submit(df: DataFrame, epoch_id: int) -> None:
+        run_id = f"{key}-b{epoch_id}"
+        if state.is_committed(run_id):
+            return  # replayed batch: effect already published
+        counts = df.groupBy("descriptor").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max(F.col("event_time").cast("string")).alias("ptr"),
+        ).collect()
+        if not counts:
+            return  # empty batch: nothing to publish
+        run_dir = f"{out_path}/part-{run_id}"
+        write_partitioned_parquet(df, run_dir)
+        state.commit(
+            key, run_id,
+            pointer=max(r["ptr"] for r in counts),
+            metrics={"per_sink": {r["descriptor"]: {"rows": r["rows"]} for r in counts}},
+            data_paths=[run_dir],
+        )
+
+    return submit
+
+
 def start_to_parquet(
     routed: DataFrame,
     out_path: str,

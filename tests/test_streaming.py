@@ -83,3 +83,48 @@ def test_windowed_counts_is_valid_streaming_agg(spark, fixture_dir):
     agg = windowed_sink_counts(routed)
     # plan must be a legal streaming aggregation (analysis would throw here)
     assert agg.isStreaming
+
+
+def test_manifest_sink_exactly_once(spark, fixture_dir, tmp_path):
+    """Streaming T1: each micro-batch publishes data + pointer + counts
+    in one atomic manifest commit; replayed epochs and checkpoint
+    restarts publish nothing twice."""
+    from grove_spark.state.runstate import RunState
+    from grove_spark.streaming.stream import manifest_sink
+
+    batch_df = spark.read.parquet(fixture_dir["sequences"])
+    sources = spark.read.parquet(fixture_dir["sources"])
+    sinks = spark.read.parquet(fixture_dir["sinks"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    state = RunState(str(tmp_path / "state"))
+
+    def run_once():
+        stream = read_sequence_stream(spark, fixture_dir["sequences"], batch_df.schema)
+        routed = build_stream(stream, sources, sinks, dedup=False).select(
+            "doc_id", "descriptor", "connector", "routed_tokens", "event_time"
+        )
+        q = start_to_parquet(routed, out, ckpt, foreach_batch=manifest_sink(state, out, key="stream.test"))
+        q.awaitTermination(180)
+
+    run_once()
+    total = sum(
+        spark.read.parquet(p).count() for p in state.committed_paths()
+    )
+    from grove_spark.plans.pipeline import build_pipeline
+
+    res = build_pipeline(batch_df, sources, sinks, n_partitions=4, with_metadata=False)
+    want = sum(r["rows"] for r in res.counts.collect())
+    assert total == want
+    assert state.pointer("stream.test") is not None
+    n_commits = len(state.committed_paths())
+
+    # restart from the same checkpoint with no new data: nothing re-published
+    run_once()
+    assert len(state.committed_paths()) == n_commits
+    assert sum(spark.read.parquet(p).count() for p in state.committed_paths()) == want
+
+    # simulate a REPLAYED epoch (crash after commit, before checkpoint
+    # advance): the sink must be idempotent on the epoch id
+    replay_df = spark.read.parquet(state.committed_paths()[0])
+    manifest_sink(state, out, key="stream.test")(replay_df, 0)
+    assert len(state.committed_paths()) == n_commits
