@@ -1319,15 +1319,85 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized parse pillar with an oracle: synthesize a log line
+    per event (identical arithmetic both engines), run the grok pattern
+    through the production parse stage (plans/parse.py, catalyst engine
+    — regexp_extract inside codegen), emit the extracted fields."""
+    from grove_spark.plans.parse import grok_to_regex, parse_stage
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("evt level="),
+        F.upper("event_type"),
+        F.lit(" user=u"),
+        F.col("user_id").cast("string"),
+        F.lit(" n="),
+        F.col("event_id").cast("string"),
+    )
+    pattern = grok_to_regex("^evt level=%{WORD:level} user=%{NOTSPACE:user} n=%{INT:n}$")
+    parsed = parse_stage(ev.select("event_id", line.alias("raw")), "raw", pattern)
+    return parsed.select(
+        "event_id",
+        F.col("parsed.level").alias("level"),
+        F.col("parsed.user").alias("user"),
+        F.col("parsed.n").cast("bigint").alias("n"),
+    )
+
+
+SQL_GROK_PARSE = """
+SELECT event_id,
+       upper(event_type) AS level,
+       'u' || CAST(user_id AS VARCHAR) AS user,
+       CAST(event_id AS BIGINT) AS n
+FROM events
+"""
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/§2.7 CSV scalar path: serialize each event to a CSV line, parse
+    it back with from_csv (typed schema), emit the round-tripped fields —
+    the SalesForce event-log shape (sf/event_log.py:190) as a column
+    transform instead of csv.DictReader rows."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+    )
+    parsed = ev.select(
+        F.from_csv(
+            line, "event_id bigint, event_type string, user_id bigint"
+        ).alias("c")
+    )
+    return parsed.select(
+        F.col("c.event_id").alias("event_id"),
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.user_id").alias("user_id"),
+    )
+
+
+SQL_CSV_PARSE = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(user_id AS BIGINT) AS user_id
+FROM events
+"""
+
+
 QUERIES.update({
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_clusters": q_dedup_clusters,
+    "grok_parse": q_grok_parse,
+    "csv_parse": q_csv_parse,
 })
 ORACLE.update({
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "grok_parse": SQL_GROK_PARSE,
+    "csv_parse": SQL_CSV_PARSE,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker
