@@ -68,7 +68,13 @@ def boundary_hashes(df: DataFrame, hash_cols: Sequence[str], pointer_col: str) -
 
     The max is taken on the NATIVE pointer type (string max mis-orders
     numeric sequence pointers); the stringification for the manifest
-    happens after the boundary rows are selected."""
+    happens after the boundary rows are selected.
+
+    State size = rows sharing the max pointer — tiny for timestamp /
+    sequence pointers, but a COARSE pointer (a date) makes the boundary
+    a whole day of hashes; the reference has the identical property
+    (:634-637). For coarse pointers prefer a finer pointer column or
+    strict-> semantics."""
     mx = df.select(F.col(pointer_col).alias("__mx")).agg(F.max("__mx").alias("__mx"))
     rows = df.join(F.broadcast(mx), df[pointer_col] == mx["__mx"], "inner")
     return rows.select(

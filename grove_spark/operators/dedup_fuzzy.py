@@ -304,13 +304,26 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicates: random-hyperplane LSH buckets then exact
     cosine verification within buckets (see similarity.py for the
-    hyperplane construction)."""
+    hyperplane construction).
+
+    The in-bucket self-join is QUADRATIC in bucket size — at 10^9
+    vectors, 2^n_planes buckets must keep buckets small (size N/2^p), so
+    size n_planes for the corpus (p ≈ log2(N) - 12 keeps buckets ~4k).
+    ``max_bucket_size`` is the backstop: degenerate buckets (e.g. the
+    all-zeros region) are dropped rather than allowed to explode, the
+    same rule as lsh_candidate_pairs."""
     from grove_spark.operators.similarity import add_lsh_bucket, cosine
 
     b = add_lsh_bucket(emb.select(id_col, vec_col), vec_col, n_planes, seed)
+    if max_bucket_size:
+        bsz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        b = b.join(
+            F.broadcast(bsz.where(F.col("__bsz") <= max_bucket_size)), "bucket"
+        ).drop("__bsz")
     l, r = b.alias("l"), b.alias("r")
     cands = l.join(
         r,
