@@ -342,6 +342,32 @@ FROM documents
 """
 
 
+_BPE_PAT = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2-style pre-tokenizer classes
+    (letter runs | digit runs | punctuation runs) as one vectorized
+    regexp_extract_all — the tokenizer-budget estimate a training
+    pipeline runs over every document. Pattern passed as a literal
+    column (no SQL-string escaping differences between engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
+        F.size(toks).cast("bigint").alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_BPE = rf"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: word count, stopword count, and a scaled integer
     score (integer arithmetic -> bit-stable across engines)."""
@@ -1391,6 +1417,7 @@ QUERIES.update({
     "dedup_clusters": q_dedup_clusters,
     "grok_parse": q_grok_parse,
     "csv_parse": q_csv_parse,
+    "token_bpe": q_token_bpe,
 })
 ORACLE.update({
     "asof_join": SQL_ASOF_JOIN,
@@ -1398,6 +1425,7 @@ ORACLE.update({
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "grok_parse": SQL_GROK_PARSE,
     "csv_parse": SQL_CSV_PARSE,
+    "token_bpe": SQL_TOKEN_BPE,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker

@@ -157,6 +157,26 @@ def test_fleet_watermark_pushes_numeric_and_timestamp(spark, loaded):
     assert "GreaterThan(event_time" in pushed, pushed
 
 
+def test_every_gate_query_is_python_free(spark):
+    """Blanket sweep: NO gate query's plan may contain row-at-a-time
+    Python (BatchEvalPython). Arrow kernels (MapInPandas — the batched
+    matmul in ann_ivf) are the only sanctioned Python, and only there."""
+    from grove_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    allowed_arrow = {"ann_ivf"}  # batched numpy matmul kernel, by design
+    for name, fn in QUERIES.items():
+        if name == "stream_tumbling":
+            continue  # executes a streaming query; covered by its own test
+        df = fn(spark, sf)
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{name} has per-row Python"
+        if name not in allowed_arrow:
+            assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+                f"{name} uses Python unexpectedly"
+            )
+
+
 def test_fleet_plan_hygiene(spark, loaded):
     """assemble_fleet over mixed chains: all-broadcast, no Python,
     per-branch source sets pushed to the scan."""
