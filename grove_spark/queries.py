@@ -1345,6 +1345,100 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def q_filter_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 filter_paths with a gate row: build a nested struct per event,
+    drop one nested field and one top-level field through the processor
+    (Column.dropFields under the hood), emit what survives. The
+    empty-struct rule is exercised too: dropping ``extra``'s only child
+    drops ``extra`` itself (Spark structs cannot be empty — documented
+    deviation, functions/paths.drop_nested_field)."""
+    from grove_spark.operators.processors import filter_paths
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"),
+            F.col("user_id").alias("uid"),
+            F.col("value").alias("secret"),
+        ).alias("meta"),
+        F.struct(F.col("props").alias("only_child")).alias("extra"),
+        F.col("value").alias("top_secret"),
+    )
+    out = filter_paths(ev, ["meta.secret", "extra.only_child", "top_secret"])
+    assert "extra" not in out.columns and "top_secret" not in out.columns
+    return out.select(
+        "event_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.uid").cast("bigint").alias("uid"),
+    )
+
+
+SQL_FILTER_PATHS = """
+SELECT event_id, event_type AS kind, CAST(user_id AS BIGINT) AS uid FROM events
+"""
+
+
+DELAY_CEILING_NOW = "2024-01-20 12:00:00"
+
+
+def q_delay_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 time-window scan with consistency delay, deterministic via a
+    pinned ``now``: end = now - delay (the reference's late-data ceiling,
+    github/audit_log.py:121). Runs through the production scan."""
+    import datetime as dt
+
+    from grove_spark.sources.scans import incremental_scan
+
+    now = dt.datetime.strptime(DELAY_CEILING_NOW, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=dt.timezone.utc
+    )
+    ev = incremental_scan(
+        spark, f"{sf_dir}/events.parquet", "ts",
+        watermark="2024-01-10 00:00:00", delay_s=3600, now=now,
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+    )
+
+
+SQL_DELAY_SCAN = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       max(epoch_us(ts)) AS max_ts_us
+FROM events
+WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '{DELAY_CEILING_NOW}' - INTERVAL 1 HOUR
+"""
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 CSV log-file scan through the production reader: events are
+    first materialized as a real CSV file (the SalesForce event-log
+    delivery format), then csv_log_scan re-reads it with schema
+    inference and a watermark on the numeric id column."""
+    import tempfile
+
+    from grove_spark.sources.scans import csv_log_scan
+
+    d = tempfile.mkdtemp(prefix="grove_csv_scan_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
+    scanned = csv_log_scan(spark, d, "event_id", watermark="499")
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+    )
+
+
+SQL_CSV_SCAN = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS first_id
+FROM events WHERE event_id > 499
+GROUP BY event_type
+"""
+
+
 def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized parse pillar with an oracle: synthesize a log line
     per event (identical arithmetic both engines), run the grok pattern
@@ -1418,6 +1512,9 @@ QUERIES.update({
     "grok_parse": q_grok_parse,
     "csv_parse": q_csv_parse,
     "token_bpe": q_token_bpe,
+    "filter_paths": q_filter_paths,
+    "delay_scan": q_delay_scan,
+    "csv_scan": q_csv_scan,
 })
 ORACLE.update({
     "asof_join": SQL_ASOF_JOIN,
@@ -1426,6 +1523,9 @@ ORACLE.update({
     "grok_parse": SQL_GROK_PARSE,
     "csv_parse": SQL_CSV_PARSE,
     "token_bpe": SQL_TOKEN_BPE,
+    "filter_paths": SQL_FILTER_PATHS,
+    "delay_scan": SQL_DELAY_SCAN,
+    "csv_scan": SQL_CSV_SCAN,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker
