@@ -98,17 +98,42 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One aggregation, all JVM-side.
+    xxhash64(shingle, seed=i).
+
+    Computed as a pure PER-ROW projection — a document's shingle set
+    lives inside its own row, so ``array_min(transform(grams, g ->
+    xxhash64(g, i)))`` needs no explode and no groupBy: zero shuffle,
+    embarrassingly parallel over the scan (the exploded+grouped form
+    shuffled |docs|·|shingles| rows for nothing). Documents with fewer
+    than n words produce no signature row, matching the exploded form.
 
     Returns (doc_id, sig array<bigint>).
     """
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    # docs with no shingles have no signature row (parity with the
+    # exploded form — and two empty docs must NOT collide into a bucket)
+    pre = docs.select(F.col(id_col), grams.alias("__grams")).where(
+        F.size("__grams") > 0
+    )
+    def min_hash(i: int):
+        # NB: the seed must be closed over OUTSIDE the lambda — a
+        # two-parameter lambda (e.g. ``lambda g, i=i``) makes pyspark
+        # pass the ARRAY INDEX as the second argument, silently
+        # shadowing the seed
+        seed = F.lit(i)
+        return F.array_min(F.transform("__grams", lambda g: F.xxhash64(g, seed)))
+
+    return pre.select(id_col, F.array(*[min_hash(i) for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
