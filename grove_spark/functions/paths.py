@@ -216,11 +216,18 @@ def truthy(col: Column, dtype: T.DataType | None) -> Column:
 
 
 def first_truthy(cols_with_types: List[tuple[Column, T.DataType | None]]) -> Column:
-    """First-truthy-wins chain (the extract_paths source resolution rule)."""
+    """First-truthy-wins chain (the extract_paths source resolution rule).
+
+    Fallthrough parity (found by the property suite): when NO source is
+    truthy, the reference keeps the LAST source's evaluated value — the
+    loop variable retains the final ``jmespath.search`` result, falsy or
+    not (grove/processors/extract_paths.py:85-88: ``value = search(...)``
+    with ``break`` only on truthy). So ``sources: [kind, nested.a]`` over
+    ``kind='' , nested.a=''`` yields ``''``, not null."""
     if not cols_with_types:
         return F.lit(None).cast("string")
-    expr = F.lit(None)
-    for col, dtype in reversed(cols_with_types):
+    expr = cols_with_types[-1][0]  # reference fallthrough: last evaluated
+    for col, dtype in reversed(cols_with_types[:-1]):
         expr = F.when(truthy(col, dtype), col).otherwise(expr)
     return expr
 

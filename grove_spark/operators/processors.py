@@ -80,12 +80,15 @@ def extract_paths(
         if m.static is not None:
             values[m.destination] = F.lit(m.static)
         else:
-            # sources whose path doesn't resolve in this schema are
-            # skipped at compile time (JMESPath would return None)
+            # sources whose path doesn't resolve in this schema compile
+            # to null literals (JMESPath search returns None) — they stay
+            # IN the chain so the last-source fallthrough matches the
+            # reference when every source is falsy
             resolved = [
-                (path_col(s), resolve_type(schema, s))
+                (path_col(s), rt)
+                if (rt := resolve_type(schema, s)) is not None
+                else (F.lit(None), None)
                 for s in m.sources
-                if resolve_type(schema, s) is not None
             ]
             values[m.destination] = first_truthy(resolved)
     return df.select(*assemble_nested(values))

@@ -1082,10 +1082,11 @@ def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# event_id 0 maps to NULL: extract_paths' first-TRUTHY source rule
-# (grove/processors/extract_paths.py:85-88) treats 0 as falsy.
+# event_id 0 survives: sources are tried first-TRUTHY, but when none is
+# truthy the LAST source's value falls through (extract_paths.py:85-88),
+# so a single-source mapping always yields the value.
 SQL_EXTRACT_NESTED = """
-SELECT CASE WHEN event_id <> 0 THEN CAST(event_id AS BIGINT) END AS event_id,
+SELECT CAST(event_id AS BIGINT) AS event_id,
        'k' AS first_name,
        event_type AS second_val
 FROM events WHERE NOT coalesce(value <= 0.5, FALSE)
