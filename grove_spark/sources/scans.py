@@ -35,20 +35,29 @@ def incremental_scan(
     delay_s: int = 0,
     now: Optional[dt.datetime] = None,
     fmt: str = "parquet",
+    lookback_s: int = 0,
 ) -> DataFrame:
-    """Watermarked incremental scan with optional consistency delay.
+    """Watermarked incremental scan with optional consistency delay and
+    lookback re-scan.
 
     ``watermark`` (exclusive lower bound) comes from run-state; ``delay_s``
     imposes the reference's late-data ceiling ``end = now - delay``
-    (github/audit_log.py:121, bigquery_query.py:106). Both predicates
-    push down to the file scan (PushedFilters)."""
+    (github/audit_log.py:121, bigquery_query.py:106). ``lookback_s``
+    widens the lower bound to ``watermark - lookback`` (the BigQuery
+    ``late_buffer_days`` re-scan, bigquery_query.py:241-260) — rows in
+    the overlap are re-read and must be deduplicated downstream by
+    content hash (dedup_by_hash with window-wide seen state). All
+    predicates push down to the file scan (PushedFilters)."""
     from grove_spark.operators.dedup import watermark_literal
 
     df = spark.read.format(fmt).load(path)
     if watermark is not None:
         # literal cast to the column's native type: pushdown survives and
         # numeric sequence pointers order numerically, not as strings
-        df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
+        lo = watermark_literal(df, pointer_col, watermark)
+        if lookback_s > 0:
+            lo = lo - F.expr(f"INTERVAL {lookback_s} SECONDS")
+        df = df.where(F.col(pointer_col) > lo)
     if delay_s > 0:
         now = now or dt.datetime.now(dt.timezone.utc)
         ceiling = (now - dt.timedelta(seconds=delay_s)).replace(tzinfo=None)

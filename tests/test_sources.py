@@ -71,3 +71,23 @@ def test_heartbeat_shape(spark):
     assert len(rows) == 3
     assert all(r["type"] == "heartbeat" for r in rows)
     assert [r["sequence"] for r in rows] == [0, 1, 2]
+
+
+def test_lookback_rescan_widens_window(spark, tmp_path):
+    """T6 late_buffer re-scan (bigquery_query.py:241-260): lookback_s
+    widens the lower bound; the overlap is re-read for hash dedup."""
+    import datetime as dt
+
+    from grove_spark.sources.scans import incremental_scan
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, s), f"d{s}") for s in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "ts timestamp, doc string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "t"))
+
+    plain = incremental_scan(spark, str(tmp_path / "t"), "ts",
+                             watermark="2024-01-01 00:00:30")
+    assert {r["doc"] for r in plain.collect()} == {"d40"}
+
+    widened = incremental_scan(spark, str(tmp_path / "t"), "ts",
+                               watermark="2024-01-01 00:00:30", lookback_s=15)
+    assert {r["doc"] for r in widened.collect()} == {"d20", "d30", "d40"}
