@@ -101,9 +101,14 @@ def load_configs(path: str) -> List[ConnectorConfig]:
         docs.extend(loaded if isinstance(loaded, list) else [loaded])
     out: List[ConnectorConfig] = []
     for doc in docs:
+        if not isinstance(doc, dict):
+            logging.getLogger(__name__).error(
+                "skipping non-object config document: %r", doc
+            )
+            continue
         try:
             cfg = ConnectorConfig.from_dict(doc)
-        except TypeError as err:
+        except (TypeError, ValueError) as err:
             logging.getLogger(__name__).error("skipping invalid config: %s", err)
             continue
         if not cfg.disabled:
@@ -162,12 +167,20 @@ def file_secrets_provider(store_path: str) -> Callable[[str], str]:
 
 
 def sinks_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]) -> DataFrame:
+    """Routing dim keyed by the FULL config identity (connector,
+    identity, operation): two identities of the same connector each
+    route only their own rows — keying by connector name alone would
+    join every row to every identity's outputs (row multiplication)."""
     rows = []
     for cfg in configs:
         for descriptor, stream in cfg.outputs.items():
-            rows.append((cfg.connector, descriptor, stream, "s3"))
+            rows.append(
+                (cfg.connector, cfg.identity, cfg.operation, descriptor, stream, "s3")
+            )
     return spark.createDataFrame(
-        rows, "connector string, descriptor string, stream string, sink_kind string"
+        rows,
+        "connector string, identity string, operation string, "
+        "descriptor string, stream string, sink_kind string",
     )
 
 
@@ -217,7 +230,6 @@ def assemble_fleet(
 
     watermarks = watermarks or {}
     seen_states = seen_states or {}
-    sinks_dim = sinks_dim_from_configs(spark, configs)
     sources_dim = sources_dim_from_configs(spark, configs)
 
     groups: Dict[str, List[ConnectorConfig]] = {}
@@ -264,12 +276,13 @@ def assemble_fleet(
             )
         branch = enrich(branch, sources_dim, on="source")
         deduped_branches.append(branch)
-        member_sinks = sinks_dim.where(
-            F.col("connector").isin([m.connector for m in members])
-        )
+        # the branch's own members' outputs only, keyed by the FULL
+        # config identity so same-named connectors don't cross-route
+        member_sinks = sinks_dim_from_configs(spark, members)
+        route_keys = ["connector", "identity", "operation"]
         raw_routed = route(
             branch, member_sinks.where(F.col("stream") != "processed"),
-            connector_col="connector", raw_col="tokens",
+            connector_col=route_keys, raw_col="tokens",
         )
         branches.append(raw_routed)
         proc_sinks = member_sinks.where(F.col("stream") == "processed")
@@ -278,7 +291,7 @@ def assemble_fleet(
         else:
             processed = branch
         branches.append(
-            route(processed, proc_sinks, connector_col="connector", raw_col="tokens")
+            route(processed, proc_sinks, connector_col=route_keys, raw_col="tokens")
         )
 
     out = branches[0]
@@ -319,14 +332,24 @@ def run_fleet(
         seen_states=seen_states, return_deduped=True,
     )
     routed.persist()
+    # the boundary-hash job below runs two more actions over the deduped
+    # lineage; without this persist each would re-scan the fact table and
+    # re-run every branch's watermark + anti-join
+    deduped.persist()
 
     run_id = state.new_run_id()
     data_paths = []
-    # max pointer is computed on the NATIVE column type, stringified only
-    # at the manifest boundary — max(cast-to-string) mis-orders numeric
-    # sequence pointers ("9" > "10") and would commit a wrong watermark
+    # State keys are (connector, identity, operation) — cfg.reference().
+    # Grouping on connector alone would cross-contaminate multi-identity
+    # fleets of the same connector: one identity's max pointer would be
+    # committed as the other's watermark (silent data loss). The identity
+    # and operation columns ride the sources-dim enrich, so every
+    # aggregate below groups on the full key. Max pointer is computed on
+    # the NATIVE column type, stringified only at the manifest boundary —
+    # max(cast-to-string) mis-orders numeric sequence pointers.
+    key_cols = ["connector", "identity", "operation"]
     stats = (
-        routed.groupBy("connector", "descriptor")
+        routed.groupBy(*key_cols, "descriptor")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_tok").alias("sum_n_tok"),
@@ -341,29 +364,29 @@ def run_fleet(
         write_partitioned_parquet(routed, run_dir)
         data_paths.append(run_dir)
 
-    per_connector: Dict[str, dict] = {}
+    def row_key(r):
+        return reference(r["connector"], r["identity"], r["operation"])
+
+    per_key: Dict[str, dict] = {}
     for r in stats:
-        d = per_connector.setdefault(
-            r["connector"], {"per_sink": {}, "new_pointer": None}
-        )
+        d = per_key.setdefault(row_key(r), {"per_sink": {}, "new_pointer": None})
         d["per_sink"][r["descriptor"]] = {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]}
-        # native-type comparison across this connector's descriptors
+        # native-type comparison across this key's descriptors
         if d["new_pointer"] is None or (
             r["new_pointer"] is not None and r["new_pointer"] > d["new_pointer"]
         ):
             d["new_pointer"] = r["new_pointer"]
 
-    # per-connector boundary seen-hashes: rows AT each connector's max
-    # pointer, hashed like the next run's anti-join input. One small job
-    # over the already-pruned batch (broadcast join on the 1-row-per-
-    # connector max).
+    # per-key boundary seen-hashes: rows AT each key's max pointer,
+    # hashed like the next run's anti-join input. One small job over the
+    # persisted pruned batch (broadcast join on the 1-row-per-key max).
     from grove_spark.functions.hashing import entry_hash
 
-    mx = deduped.groupBy("connector").agg(F.max(pointer_col).alias(pointer_col))
+    mx = deduped.groupBy(*key_cols).agg(F.max(pointer_col).alias(pointer_col))
     brows = (
-        deduped.join(F.broadcast(mx), ["connector", pointer_col], "inner")
+        deduped.join(F.broadcast(mx), key_cols + [pointer_col], "inner")
         .select(
-            "connector",
+            *key_cols,
             F.col(pointer_col).cast("string").alias("pointer"),
             entry_hash(["doc_id", "tokens"]).alias("hash"),
         )
@@ -372,14 +395,14 @@ def run_fleet(
     ) if stats else []
     new_seen: Dict[str, Dict[str, list]] = {}
     for r in brows:
-        new_seen.setdefault(r["connector"], {}).setdefault(r["pointer"], []).append(r["hash"])
+        new_seen.setdefault(row_key(r), {}).setdefault(r["pointer"], []).append(r["hash"])
 
     updates = []
     for cfg in due:
         ref = cfg.reference()
-        got = per_connector.get(cfg.connector)
+        got = per_key.get(ref)
         new_ptr = (got or {}).get("new_pointer")
-        seen = new_seen.get(cfg.connector)
+        seen = new_seen.get(ref)
         ptr_str = None
         if seen:
             ptr_str = next(iter(seen))
@@ -403,4 +426,14 @@ def run_fleet(
     # the version observed before planning (optimistic concurrency).
     state.commit_many(updates, run_id, now=now, expected_version=base_version)
     routed.unpersist()
-    return {"due": len(due), "run_id": run_id, "per_connector": per_connector}
+    deduped.unpersist()
+    # report keyed by connector name for single-identity fleets (back-
+    # compat), full reference keys alongside
+    per_connector = {
+        cfg.connector: per_key[cfg.reference()]
+        for cfg in due if cfg.reference() in per_key
+    }
+    return {
+        "due": len(due), "run_id": run_id,
+        "per_connector": per_connector, "per_key": per_key,
+    }

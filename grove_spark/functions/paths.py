@@ -25,26 +25,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _split_flagged(path: str, delimiter: str = ".", quote: str = "'") -> List[Tuple[str, bool]]:
+    """Split honouring quoted segments, keeping a was-quoted flag per
+    segment (quoted segments are LITERAL field names — the quoting
+    grammar exists to escape special characters, so index parsing must
+    never apply inside them, e.g. the registry's ``'@timestamp'`` or a
+    field literally named ``b[0]``)."""
+    segments: List[Tuple[str, bool]] = []
+    current: List[str] = []
+    in_quote = False
+    quoted = False
+    for ch in path:
+        if ch == quote:
+            in_quote = not in_quote
+            quoted = True
+            continue
+        if ch == delimiter and not in_quote:
+            segments.append(("".join(current), quoted))
+            current = []
+            quoted = False
+            continue
+        current.append(ch)
+    segments.append(("".join(current), quoted))
+    return [(s, q) for s, q in segments if s != ""]
+
+
 def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List[str]:
     """Split ``path`` on ``delimiter``, honouring quoted segments.
 
     Behavioral twin of the reference's tokenizer (grove/helpers/parsing.py:51-73):
     ``"a.'b.c'.d"`` -> ``["a", "b.c", "d"]``.
     """
-    segments: List[str] = []
-    current: List[str] = []
-    in_quote = False
-    for ch in path:
-        if ch == quote:
-            in_quote = not in_quote
-            continue
-        if ch == delimiter and not in_quote:
-            segments.append("".join(current))
-            current = []
-            continue
-        current.append(ch)
-    segments.append("".join(current))
-    return [s for s in segments if s != ""]
+    return [s for s, _ in _split_flagged(path, delimiter, quote)]
 
 
 _INDEX_RE = re.compile(r"^(?P<base>.*?)(?P<idx>(\[(?:\d+|\*)\])+)$")
@@ -65,9 +77,13 @@ def _split_indices(segment: str) -> Tuple[str, List]:
 
 def _tokens(path: str) -> List[Tuple[str, object]]:
     """Flatten a path into (kind, value) tokens:
-    ``a[0].b[*].c`` -> [(field,a),(index,0),(field,b),(wild,None),(field,c)]."""
+    ``a[0].b[*].c`` -> [(field,a),(index,0),(field,b),(wild,None),(field,c)].
+    Quoted segments are literal field names — no index parsing."""
     toks: List[Tuple[str, object]] = []
-    for part in quote_aware_split(path):
+    for part, quoted in _split_flagged(path):
+        if quoted:
+            toks.append(("field", part))
+            continue
         base, idxs = _split_indices(part)
         toks.append(("field", base))
         for i in idxs:

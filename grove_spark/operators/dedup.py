@@ -96,8 +96,29 @@ def watermark_literal(df: DataFrame, pointer_col: str, pointer: str):
     column bare, so the GreaterThan lands in PushedFilters and numeric /
     timestamp ordering is native. Genuinely opaque string cursors hit the
     StringType branch and compare as strings, unchanged.
+
+    The cast is validated DRIVER-side first: a stored pointer that cannot
+    cast to the column's type (schema drift, corrupted manifest) would
+    otherwise become a NULL literal, turning every incremental scan into
+    a silent permanent zero-row no-op.
     """
-    return F.lit(str(pointer)).cast(df.schema[pointer_col].dataType)
+    from pyspark.sql import types as T
+
+    dtype = df.schema[pointer_col].dataType
+    s = str(pointer)
+    try:
+        if isinstance(dtype, T.NumericType):
+            float(s)
+        elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            import datetime as dt
+
+            dt.datetime.fromisoformat(s.replace("Z", "+00:00").replace(" ", "T"))
+    except ValueError as err:
+        raise ValueError(
+            f"watermark {s!r} does not cast to {pointer_col}'s type {dtype} — "
+            "refusing a NULL comparison that would silently scan zero rows"
+        ) from err
+    return F.lit(s).cast(dtype)
 
 
 def dedup_by_pointer(

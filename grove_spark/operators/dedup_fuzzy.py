@@ -218,11 +218,17 @@ def minhash_dedup_pairs(
     # reads cands three times); without materialization each reuse
     # recomputes the whole shingle+signature pipeline. Narrow frames
     # (ids + 64 longs / id pairs) — cheap to hold, huge to recompute.
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
+    # localCheckpoint (not persist): checkpoint blocks are released by
+    # the ContextCleaner when the frame is garbage-collected, while a
+    # persist() inside an operator would pin cache for the session (the
+    # caller gets a lazy frame and has nothing to unpersist).
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     if not verify:
         return cands
-    cands = cands.persist()
+    cands = cands.localCheckpoint(eager=True)
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), "shingle"
     )

@@ -30,17 +30,22 @@ from pyspark.sql import functions as F
 def route(
     df: DataFrame,
     sinks_dim: DataFrame,
-    connector_col: str = "connector",
+    connector_col: str | list = "connector",
     raw_col: str = "tokens",
     processed_col: str | None = None,
 ) -> DataFrame:
     """Fan rows out to their descriptors via a broadcast routing join.
 
+    ``connector_col`` may be a LIST of key columns — a fleet with two
+    identities of the same connector must join on (connector, identity)
+    or every row fans out into every identity's outputs.
+
     The result carries ``descriptor``, ``sink_kind``, ``stream`` and a
     ``routed_tokens`` column holding the raw or processed payload
     according to the descriptor's stream.
     """
-    routed = df.join(F.broadcast(sinks_dim), connector_col, "inner")
+    keys = [connector_col] if isinstance(connector_col, str) else list(connector_col)
+    routed = df.join(F.broadcast(sinks_dim), keys, "inner")
     processed = F.col(processed_col) if processed_col else F.col(raw_col)
     routed = routed.withColumn(
         "routed_tokens",

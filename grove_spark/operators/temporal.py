@@ -37,6 +37,7 @@ def asof_join(
     right_time: str,
     value_cols: Optional[List[str]] = None,
     tolerance: Optional[str] = None,
+    suffix: str = "",
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     ``right_time <= left_time`` for the same ``on`` key (backward as-of
@@ -46,10 +47,20 @@ def asof_join(
     ``value_cols``: right columns to carry (default: all non-key,
     non-time). ``tolerance``: optional max lookback as a SQL interval
     string (e.g. ``"7 days"``) — matches older than that become null.
+    ``suffix``: appended to carried column names; REQUIRED when a value
+    column name also exists on the left (merge_asof's suffixes) — the
+    union would otherwise merge both sides' values into one column and
+    the output would carry two identically-named columns.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
+    clashes = [c for c in value_cols if (c + suffix) in left.columns]
+    if clashes:
+        raise ValueError(
+            f"right value column(s) {clashes} collide with left columns; "
+            "pass suffix= (merge_asof-style) or rename"
+        )
     lt = F.col(left_time)
 
     l_tagged = left.withColumn("__t", lt.cast("timestamp")).withColumn(
@@ -59,10 +70,11 @@ def asof_join(
         right.select(
             F.col(on),
             F.col(right_time).cast("timestamp").alias("__t"),
-            *[F.col(c) for c in value_cols],
+            *[F.col(c).alias(c + suffix) for c in value_cols],
         )
         .withColumn("__is_l", F.lit(0))
     )
+    value_cols = [c + suffix for c in value_cols]
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows sort BEFORE left rows at the same instant so equal-time
@@ -105,17 +117,19 @@ def range_join_binned(
     bin-exploded EQUI-join (see module docstring). ``ranges`` is assumed
     dimension-sized (broadcast); bin_width should be on the order of the
     typical range width so each range explodes into O(1) bins."""
+    lo_bin = F.floor(F.col(lo_col) / bin_width).cast("long")
+    # INCLUSIVE stop bin: a range ending exactly on a bin edge explodes
+    # into one bin it cannot match, and the residual predicate removes
+    # it — an epsilon-adjusted exclusive stop would instead DROP the top
+    # bin for hi values within the epsilon of an edge (silent misses)
+    # and be rounding-absorbed at large magnitudes. Degenerate ranges
+    # (hi <= lo) produce no bins (explode of null drops the row) instead
+    # of a descending bogus sequence.
+    hi_bin = F.floor(F.col(hi_col) / bin_width).cast("long")
     binned_ranges = ranges.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bin_width).cast("long"),
-                # hi is exclusive: a range ending exactly on a bin edge
-                # does not reach into that bin
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / bin_width
-                ).cast("long"),
-            )
+            F.when(F.col(hi_col) > F.col(lo_col), F.sequence(lo_bin, hi_bin))
         ),
     )
     probe_binned = probe.withColumn(

@@ -228,11 +228,14 @@ def run_incremental(
     # so the next run's string round-trip is self-consistent.
     from grove_spark.operators.dedup import boundary_hashes
 
-    brows = (
-        boundary_hashes(result.deduped, list(hash_cols), pointer_col).collect()
-        if counts_rows
-        else []
-    )
+    if counts_rows:
+        # boundary_hashes runs two actions (max agg + join) over the
+        # deduped lineage — persist so they don't re-scan the source
+        result.deduped.persist()
+        brows = boundary_hashes(result.deduped, list(hash_cols), pointer_col).collect()
+        result.deduped.unpersist()
+    else:
+        brows = []
     if brows:
         new_ptr = brows[0]["pointer"]
         new_seen = {new_ptr: sorted(r["hash"] for r in brows)}

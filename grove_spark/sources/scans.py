@@ -56,7 +56,13 @@ def incremental_scan(
         # numeric sequence pointers order numerically, not as strings
         lo = watermark_literal(df, pointer_col, watermark)
         if lookback_s > 0:
-            lo = lo - F.expr(f"INTERVAL {lookback_s} SECONDS")
+            from pyspark.sql import types as T
+
+            if isinstance(df.schema[pointer_col].dataType, T.NumericType):
+                # sequence-kind pointers: lookback is in pointer units
+                lo = lo - F.lit(lookback_s)
+            else:
+                lo = lo - F.expr(f"INTERVAL {lookback_s} SECONDS")
         df = df.where(F.col(pointer_col) > lo)
     if delay_s > 0:
         now = now or dt.datetime.now(dt.timezone.utc)

@@ -98,17 +98,22 @@ def manifest_sink(state, out_path: str, key: str = "stream.default"):
         run_id = f"{key}-b{epoch_id}"
         if state.is_committed(run_id):
             return  # replayed batch: effect already published
+        # native-type max (cast-to-string max mis-orders non-timestamp
+        # pointers); stringified only at the manifest boundary
         counts = df.groupBy("descriptor").agg(
             F.count(F.lit(1)).alias("rows"),
-            F.max(F.col("event_time").cast("string")).alias("ptr"),
+            F.max(F.col("event_time")).alias("ptr"),
         ).collect()
         if not counts:
             return  # empty batch: nothing to publish
         run_dir = f"{out_path}/part-{run_id}"
         write_partitioned_parquet(df, run_dir)
+        ptrs = [r["ptr"] for r in counts if r["ptr"] is not None]
         state.commit(
             key, run_id,
-            pointer=max(r["ptr"] for r in counts),
+            # all-null event times: keep the previous pointer (commit
+            # with pointer=None preserves it)
+            pointer=str(max(ptrs)) if ptrs else None,
             metrics={"per_sink": {r["descriptor"]: {"rows": r["rows"]} for r in counts}},
             data_paths=[run_dir],
         )
