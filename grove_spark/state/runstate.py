@@ -221,6 +221,67 @@ class RunState:
                 json.dump(state, f)
             os.replace(tmp, self._path)  # the atomic "snapshot commit"
 
+    def expire_runs(
+        self,
+        keep_last: int = 100,
+        delete_orphans_under: Optional[str] = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Retention — the Iceberg ``expire_snapshots`` analog.
+
+        Trims history to the newest ``keep_last`` records per state key
+        (entries/pointers are untouched — resume state never expires) and
+        deletes the DATA directories referenced ONLY by expired records.
+        With ``delete_orphans_under`` it also removes ``part-*`` dirs in
+        that root that no manifested run ever referenced (the residue of
+        crashed runs — invisible to readers, but they hold disk).
+
+        Runs under the commit lock so a concurrent committer can't
+        publish between the read and the rewrite. Returns
+        {expired_records, deleted_dirs, orphans_deleted}."""
+        import shutil
+
+        with self._exclusive():
+            state = self._load()
+            per_key: Dict[str, list] = {}
+            for i, h in enumerate(state["history"]):
+                per_key.setdefault(h["key"], []).append(i)
+            keep_idx = set()
+            for idxs in per_key.values():
+                keep_idx.update(idxs[-keep_last:])
+            keep = [h for i, h in enumerate(state["history"]) if i in keep_idx]
+            expired = [h for i, h in enumerate(state["history"]) if i not in keep_idx]
+            kept_paths = {p for h in keep for p in h["data_paths"]}
+            dead_paths = {
+                p for h in expired for p in h["data_paths"] if p not in kept_paths
+            }
+            orphans = set()
+            if delete_orphans_under:
+                import glob as _glob
+
+                all_referenced = {
+                    p for h in state["history"] for p in h["data_paths"]
+                }
+                orphans = {
+                    d
+                    for d in _glob.glob(os.path.join(delete_orphans_under, "part-*"))
+                    if d not in all_referenced
+                }
+            if not dry_run:
+                for p in sorted(dead_paths | orphans):
+                    shutil.rmtree(p, ignore_errors=True)
+                state["history"] = keep
+                state["version"] += 1
+                fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(state, f)
+                os.replace(tmp, self._path)
+        return {
+            "expired_records": len(expired),
+            "deleted_dirs": sorted(dead_paths),
+            "orphans_deleted": sorted(orphans),
+        }
+
     def committed_paths(self) -> list:
         """Every data path any manifested run published — what a reader
         may consume. Orphan part-dirs from crashed runs are invisible."""

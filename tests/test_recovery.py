@@ -145,3 +145,38 @@ def test_boundary_equal_pointer_rows_not_lost_not_duplicated(spark, env):
     run_incremental(spark, paths["sequences"], sources, sinks, state,
                     out_path=out, n_partitions=4)
     assert len(_committed_rows(spark, state)) == before
+
+
+def test_expire_runs_retention_and_orphan_gc(spark, env):
+    """Iceberg expire_snapshots analog: old history trimmed, expired-only
+    data dirs and never-committed orphan dirs deleted, resume state and
+    live lineage untouched."""
+    import os
+
+    paths, sources, sinks, state, out = env
+    run_incremental(spark, paths["sequences"], sources, sinks, state,
+                    out_path=out, n_partitions=4)
+    key = reference("fleet", "default")
+    p1 = state.pointer(key)
+    live = set(state.committed_paths())
+    assert live
+
+    # fabricate an orphan (crashed-run residue) and stale history records
+    orphan = os.path.join(out, "part-deadbeef")
+    os.makedirs(orphan, exist_ok=True)
+    stale_dir = os.path.join(out, "part-oldrun")
+    os.makedirs(stale_dir, exist_ok=True)
+    state.commit(key, "oldrun", data_paths=[stale_dir])
+    for i in range(3):
+        state.commit(key, f"noop{i}")
+
+    res = state.expire_runs(keep_last=3, delete_orphans_under=out)
+    assert res["expired_records"] >= 1
+    assert orphan in res["orphans_deleted"] and not os.path.exists(orphan)
+    # the live first run's dir was expired from history...
+    assert state.pointer(key) == p1  # ...but resume state survives
+    # dirs referenced only by expired records are gone
+    for d in res["deleted_dirs"]:
+        assert not os.path.exists(d)
+    # history bounded
+    assert len(state._load()["history"]) == 3
