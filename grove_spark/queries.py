@@ -1165,14 +1165,9 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
-def q_media_header(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column path end-to-end: synthesize a GSMM media
-    blob per event (deterministic little-endian header built via
-    hex/unhex in BOTH engines' plans), run the Catalyst header parser
-    (operators/multimodal.parse_media_header — no Python), emit the typed
-    metadata. The oracle computes the expected metadata arithmetically."""
-    from grove_spark.operators.multimodal import parse_media_header
-
+def _media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic GSMM media blob per event: little-endian header
+    built via hex/unhex arithmetic both engines can reproduce."""
     ev = _t(spark, sf_dir, "events").select("event_id")
     k = (F.col("event_id") % 3).cast("int")
     w = (F.lit(300) + F.col("event_id") % 700).cast("int")
@@ -1187,8 +1182,18 @@ def q_media_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.concat(*parts)
 
     hexstr = F.concat(F.lit("47534D4D"), le(k, 1), le(w, 2), le(h, 2), le(d, 4))
-    blobs = ev.withColumn("blob", F.unhex(hexstr))
-    out = parse_media_header(blobs, "blob")
+    return ev.withColumn("blob", F.unhex(hexstr))
+
+
+def q_media_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column path end-to-end: synthesize a GSMM media
+    blob per event (deterministic little-endian header built via
+    hex/unhex in BOTH engines' plans), run the Catalyst header parser
+    (operators/multimodal.parse_media_header — no Python), emit the typed
+    metadata. The oracle computes the expected metadata arithmetically."""
+    from grove_spark.operators.multimodal import parse_media_header
+
+    out = parse_media_header(_media_blobs(spark, sf_dir), "blob")
     return out.select(
         "event_id",
         F.col("media_meta.kind").alias("kind"),
@@ -1210,12 +1215,67 @@ FROM events
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces hourly
+    buckets, daily subtotals and the grand total via ROLLUP over the
+    derived (day, hour) hierarchy — the timescale-ish multi-granularity
+    rollup as plain grouping sets."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+    hour = F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+    return (
+        ev.select(day.alias("day_us"), hour.alias("hour_us"))
+        .rollup("day_us", "hour_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.grouping("day_us").cast("int").alias("g_day"),
+            F.grouping("hour_us").cast("int").alias("g_hour"),
+        )
+    )
+
+
+SQL_TIME_ROLLUP = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       epoch_us(date_trunc('hour', ts)) AS hour_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(epoch_us(date_trunc('day', ts))) AS INT) AS g_day,
+       CAST(GROUPING(epoch_us(date_trunc('hour', ts))) AS INT) AS g_hour
+FROM events
+GROUP BY ROLLUP (epoch_us(date_trunc('day', ts)), epoch_us(date_trunc('hour', ts)))
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (operators/multimodal.
+    frame_sample_plan): synthesized GSMM video blobs explode into one row
+    per sampled timestamp (every 1000 ms across the header's duration);
+    per-event frame counts are arithmetic both engines can compute."""
+    from grove_spark.operators.multimodal import frame_sample_plan
+
+    blobs = _media_blobs(spark, sf_dir)
+    frames = frame_sample_plan(blobs, every_ms=1000)
+    return frames.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT event_id,
+       CAST((greatest((event_id * 13) % 100000 - 1, 0)) // 1000 + 1 AS BIGINT) AS n_frames,
+       CAST(((greatest((event_id * 13) % 100000 - 1, 0)) // 1000) * 1000 AS BIGINT) AS last_frame_ms
+FROM events WHERE event_id % 3 = 2
+"""
+
+
 QUERIES.update({
     "fleet_mixed": q_fleet_mixed,
     "extract_nested": q_extract_nested,
     "stream_tumbling": q_stream_tumbling,
     "embedding_neardup": q_embedding_neardup,
     "media_header": q_media_header,
+    "time_rollup": q_time_rollup,
+    "frame_sample": q_frame_sample,
 })
 ORACLE.update({
     "fleet_mixed": SQL_FLEET_MIXED,
@@ -1223,6 +1283,8 @@ ORACLE.update({
     "stream_tumbling": SQL_TUMBLING_COUNTS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "media_header": SQL_MEDIA_HEADER,
+    "time_rollup": SQL_TIME_ROLLUP,
+    "frame_sample": SQL_FRAME_SAMPLE,
 })
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
