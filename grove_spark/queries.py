@@ -1568,7 +1568,53 @@ FROM events
 """
 
 
+def q_boundary_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once boundary contract as a gate row: resume with an
+    INCLUSIVE watermark at an actual boundary timestamp (the max ts
+    before Jan 10), with the even-event_id boundary rows already 'seen' —
+    the production operators (dedup_by_pointer inclusive + dedup_by_hash
+    anti-join) must keep exactly the un-seen boundary rows plus
+    everything after. The oracle expresses the same contract as a pure
+    predicate."""
+    from grove_spark.functions.hashing import entry_hash
+    from grove_spark.operators.dedup import dedup_by_hash, dedup_by_pointer
+
+    ev = _t(spark, sf_dir, "events")
+    wm_native = (
+        ev.where(F.col("ts") < F.lit("2024-01-10"))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    seen = ev.where(
+        (F.col("ts") == F.lit(wm_native)) & (F.col("event_id") % 2 == 0)
+    ).select(
+        F.col("ts").cast("string").alias("pointer"),
+        entry_hash(["event_id"]).alias("hash"),
+    )
+    resumed = dedup_by_pointer(ev, "ts", str(wm_native), inclusive=True)
+    out = dedup_by_hash(resumed, seen, ["event_id"], "ts")
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("ts") == F.lit(wm_native), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_boundary"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+    )
+
+
+SQL_BOUNDARY_RESUME = """
+WITH wm AS (SELECT max(ts) AS t FROM events WHERE ts < TIMESTAMP '2024-01-10')
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ts = (SELECT t FROM wm) THEN 1 ELSE 0 END) AS BIGINT) AS n_at_boundary,
+       max(epoch_us(ts)) AS max_ts_us
+FROM events
+WHERE ts >= (SELECT t FROM wm)
+  AND NOT (ts = (SELECT t FROM wm) AND event_id % 2 = 0)
+"""
+
+
 QUERIES.update({
+    "boundary_resume": q_boundary_resume,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_clusters": q_dedup_clusters,
@@ -1580,6 +1626,7 @@ QUERIES.update({
     "csv_scan": q_csv_scan,
 })
 ORACLE.update({
+    "boundary_resume": SQL_BOUNDARY_RESUME,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
