@@ -368,6 +368,29 @@ FROM documents
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 most frequent tokens (explode ->
+    map-side-combined count -> TakeOrdered). Deterministic tie-break on
+    the token so rank-20 ties select identically in both engines. The
+    100 TB shape: partial aggregation means the shuffle carries one row
+    per distinct token per task, never the token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: word count, stopword count, and a scaled integer
     score (integer arithmetic -> bit-stable across engines)."""
@@ -1624,6 +1647,7 @@ QUERIES.update({
     "filter_paths": q_filter_paths,
     "delay_scan": q_delay_scan,
     "csv_scan": q_csv_scan,
+    "heavy_hitters": q_heavy_hitters,
 })
 ORACLE.update({
     "boundary_resume": SQL_BOUNDARY_RESUME,
@@ -1636,6 +1660,7 @@ ORACLE.update({
     "filter_paths": SQL_FILTER_PATHS,
     "delay_scan": SQL_DELAY_SCAN,
     "csv_scan": SQL_CSV_SCAN,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker
