@@ -98,3 +98,52 @@ def parse_stage(
         pattern = grok_to_regex(pattern)
     fn = parse_catalyst if engine == "catalyst" else parse_arrow
     return df.withColumn(out_col, fn(F.col(raw_col), pattern))
+
+
+def parse_stage_multi(
+    df: DataFrame,
+    patterns: dict,
+    key_col: str = "source",
+    raw_col: str = "raw",
+    out_col: str = "parsed",
+) -> DataFrame:
+    """Per-connector grok patterns in ONE plan: each source's lines parse
+    with its own pattern (the reference's per-connector response parsing,
+    one class each; here one CASE over compiled extracts). The output
+    struct is the UNION of every pattern's named groups — fields a
+    pattern lacks are null for its rows, so heterogeneous vendor formats
+    land in one typed column. Stays entirely inside codegen (a chain of
+    ``when`` over regexp_extract structs; grok shorthand expands first).
+    """
+    compiled = {
+        k: grok_to_regex(p) if "%{" in p else p for k, p in patterns.items()
+    }
+    all_fields: list[str] = []
+    for p in compiled.values():
+        for n in _group_names(p):
+            if n not in all_fields:
+                all_fields.append(n)
+
+    def struct_for(p: str) -> Column:
+        names = set(_group_names(p))
+        plain = re.sub(r"\(\?P<\w+>", "(", p)
+        order = _group_names(p)
+        cols = []
+        for n in all_fields:
+            if n in names:
+                cols.append(
+                    F.regexp_extract(F.col(raw_col), plain, order.index(n) + 1).alias(n)
+                )
+            else:
+                cols.append(F.lit(None).cast("string").alias(n))
+        return F.struct(*cols)
+
+    expr = None
+    for k, p in compiled.items():
+        branch = F.when(F.col(key_col) == k, struct_for(p))
+        expr = branch if expr is None else expr.when(F.col(key_col) == k, struct_for(p))
+    null_struct = F.lit(None).cast(
+        T.StructType([T.StructField(n, T.StringType()) for n in all_fields])
+    )
+    expr = expr.otherwise(null_struct) if expr is not None else null_struct
+    return df.withColumn(out_col, expr)

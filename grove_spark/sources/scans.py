@@ -89,6 +89,30 @@ def csv_log_scan(
     return df
 
 
+def ndjson_scan(
+    spark: SparkSession,
+    path: str,
+    pointer_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+    schema=None,
+) -> DataFrame:
+    """Read (possibly gzip-compressed) NDJSON — the O1 sink format read
+    BACK as a source (a downstream consumer of the reference's gzip
+    NDJSON S3 objects; codec picked per file extension by Spark). Pass an
+    explicit schema in production: schema inference reads the data twice
+    and gzip files are not splittable, so inference serializes on the
+    largest file."""
+    from grove_spark.operators.dedup import watermark_literal
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if pointer_col and watermark is not None:
+        df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
+    return df
+
+
 def config_scan(spark: SparkSession, path: str) -> DataFrame:
     """Connector-config scan (S10 — configs/local_file.py:55-78): JSON
     documents -> a dimension DataFrame to broadcast-enrich with. Disabled

@@ -105,3 +105,29 @@ def test_salted_repartition_balances_zipf_skew(spark, loaded):
     )
     assert sizes.max() < u_sizes.max()  # salt strictly improves the hot spot
     assert sizes.max() <= total / n_part * 3  # bounded imbalance
+
+
+def test_parse_stage_multi_per_connector_patterns(spark):
+    """Per-connector grok patterns in one plan: each source parses with
+    its own format; the parsed struct is the union of all groups."""
+    from grove_spark.plans.parse import parse_stage_multi
+
+    df = spark.createDataFrame(
+        [
+            ("okta", "2024-01-01T00:00:00Z actor=alice outcome=SUCCESS"),
+            ("slack", "evt=file_shared user=bob"),
+            ("unknown", "whatever"),
+        ],
+        "source string, raw string",
+    )
+    out = parse_stage_multi(df, {
+        "okta": "^%{NOTSPACE:ts} actor=%{WORD:actor} outcome=%{WORD:outcome}$",
+        "slack": "^evt=%{WORD:evt} user=%{WORD:actor}$",
+    })
+    rows = {r["source"]: r["parsed"] for r in out.collect()}
+    assert rows["okta"]["actor"] == "alice" and rows["okta"]["outcome"] == "SUCCESS"
+    assert rows["slack"]["actor"] == "bob" and rows["slack"]["evt"] == "file_shared"
+    assert rows["slack"]["outcome"] is None  # field from the other pattern
+    assert rows["unknown"] is None
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan

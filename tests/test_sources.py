@@ -91,3 +91,26 @@ def test_lookback_rescan_widens_window(spark, tmp_path):
     widened = incremental_scan(spark, str(tmp_path / "t"), "ts",
                                watermark="2024-01-01 00:00:30", lookback_s=15)
     assert {r["doc"] for r in widened.collect()} == {"d20", "d30", "d40"}
+
+
+def test_ndjson_gzip_roundtrip(spark, tmp_path):
+    """O1 sink output reads back losslessly through ndjson_scan (gzip
+    codec picked up from the file extension)."""
+    from grove_spark.operators.sinks import write_gzip_ndjson
+    from grove_spark.sources.scans import ndjson_scan
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, None, [])],
+        "id long, v string, toks array<int>",
+    )
+    out = str(tmp_path / "ndjson")
+    write_gzip_ndjson(df, out)
+    import glob
+
+    assert glob.glob(f"{out}/*.gz"), "output must be gzip-compressed"
+    back = ndjson_scan(spark, out, schema=df.schema)
+    assert sorted(r.asDict(recursive=True).items() for r in back.collect()) == sorted(
+        r.asDict(recursive=True).items() for r in df.collect()
+    )
+    filtered = ndjson_scan(spark, out, pointer_col="id", watermark="1", schema=df.schema)
+    assert [r["id"] for r in filtered.collect()] == [2]
