@@ -205,8 +205,15 @@ def assemble_fleet(
     seen_states: Optional[Dict[str, Dict[str, list]]] = None,
     hash_cols: tuple = ("doc_id", "tokens"),
     return_deduped: bool = False,
+    pointer_cols: Optional[Dict[str, str]] = None,
 ):
     """One routed DataFrame for the whole fleet.
+
+    ``pointer_cols`` (reference -> column) lets connectors resume from
+    DIFFERENT pointer columns in one tick — the reference's registry
+    mixes timestamp, numeric-sequence and cursor pointers
+    (registry.py pointer_kind); each member's watermark predicate and
+    seen-hash pointer use its own column, typed natively.
 
     Configs sharing an identical processor chain form one branch: the
     branch filters to its connectors' sources, applies per-connector
@@ -251,17 +258,24 @@ def assemble_fleet(
         # boundary, grove/connectors/__init__.py:627-671).
         pred = None
         seen_rows = []
+        ptr_case = None  # per-source pointer string for the seen anti-join
         for m in members:
+            pc = (pointer_cols or {}).get(m.reference(), pointer_col)
             wm = watermarks.get(m.reference())
             seen = seen_states.get(m.reference(), {})
             if wm:
-                lit_wm = watermark_literal(sequences, pointer_col, wm)
-                cmp = F.col(pointer_col) >= lit_wm if seen else F.col(pointer_col) > lit_wm
+                lit_wm = watermark_literal(sequences, pc, wm)
+                cmp = F.col(pc) >= lit_wm if seen else F.col(pc) > lit_wm
             else:
                 cmp = F.lit(True)
-            p = (F.col("source") == m.source) & cmp
+            is_src = F.col("source") == m.source
+            p = is_src & cmp
             pred = p if pred is None else (pred | p)
             seen_rows += [(m.source, ptr, h) for ptr, hs in seen.items() for h in hs]
+            branch_ptr = F.when(is_src, F.col(pc).cast("string"))
+            ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
+                is_src, F.col(pc).cast("string")
+            )
         if pred is not None:
             branch = branch.where(pred)
         if seen_rows:
@@ -270,7 +284,7 @@ def assemble_fleet(
             )
             branch = (
                 branch.withColumn("__h", entry_hash(list(hash_cols)))
-                .withColumn("__p", F.col(pointer_col).cast("string"))
+                .withColumn("__p", ptr_case)
                 .join(F.broadcast(seen_df), ["source", "__p", "__h"], "left_anti")
                 .drop("__p", "__h")
             )
@@ -313,23 +327,29 @@ def run_fleet(
     out_path: Optional[str] = None,
     pointer_col: str = "event_time",
     now: Optional[float] = None,
+    pointer_cols: Optional[Dict[str, str]] = None,
 ) -> dict:
     """The daemon tick (T4, grove/entrypoints/local_daemon.py:104-147):
     pick configs that are due, build ONE fleet plan with their
     watermarks, write, then commit each connector's new pointer +
-    metrics in the shared manifest."""
+    metrics in the shared manifest. ``pointer_cols`` (reference ->
+    column) supports heterogeneous pointer columns — timestamp and
+    numeric-sequence connectors resume side by side in one tick."""
     now = time.time() if now is None else now
     base_version = state.version()
     due = [c for c in configs if state.due(c.reference(), c.frequency, now)]
     if not due:
         return {"due": 0, "per_connector": {}}
 
+    pointer_cols = pointer_cols or {}
+    pc_of = {c.reference(): pointer_cols.get(c.reference(), pointer_col) for c in due}
     sequences = spark.read.parquet(sequences_path)
     watermarks = {c.reference(): state.pointer(c.reference()) for c in due}
     seen_states = {c.reference(): state.seen_hashes(c.reference()) for c in due}
     routed, deduped = assemble_fleet(
         spark, due, sequences, watermarks, pointer_col,
         seen_states=seen_states, return_deduped=True,
+        pointer_cols=pointer_cols,
     )
     routed.persist()
     # the boundary-hash job below runs two more actions over the deduped
@@ -348,15 +368,32 @@ def run_fleet(
     # the NATIVE column type, stringified only at the manifest boundary —
     # max(cast-to-string) mis-orders numeric sequence pointers.
     key_cols = ["connector", "identity", "operation"]
-    stats = (
-        routed.groupBy(*key_cols, "descriptor")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_tok").alias("sum_n_tok"),
-            F.max(F.col(pointer_col)).alias("new_pointer"),
+    # one aggregation PER DISTINCT POINTER COLUMN (usually one): a mixed
+    # fleet cannot take max over a single shared column without casting
+    # to string, which mis-orders numeric pointers
+    key_expr = F.concat_ws("\x01", *key_cols)
+
+    def keys_for(pc):
+        return [
+            "\x01".join([c.connector, c.identity, c.operation])
+            for c in due if pc_of[c.reference()] == pc
+        ]
+
+    distinct_pcs = sorted(set(pc_of.values()))
+    stats = []
+    for pc in distinct_pcs:
+        sub = routed if len(distinct_pcs) == 1 else routed.where(
+            key_expr.isin(keys_for(pc))
         )
-        .collect()
-    )
+        stats += (
+            sub.groupBy(*key_cols, "descriptor")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tok").alias("sum_n_tok"),
+                F.max(F.col(pc)).alias("new_pointer"),
+            )
+            .collect()
+        )
     if out_path and stats:
         from grove_spark.operators.sinks import write_partitioned_parquet
 
@@ -382,17 +419,23 @@ def run_fleet(
     # persisted pruned batch (broadcast join on the 1-row-per-key max).
     from grove_spark.functions.hashing import entry_hash
 
-    mx = deduped.groupBy(*key_cols).agg(F.max(pointer_col).alias(pointer_col))
-    brows = (
-        deduped.join(F.broadcast(mx), key_cols + [pointer_col], "inner")
-        .select(
-            *key_cols,
-            F.col(pointer_col).cast("string").alias("pointer"),
-            entry_hash(["doc_id", "tokens"]).alias("hash"),
-        )
-        .distinct()
-        .collect()
-    ) if stats else []
+    brows = []
+    if stats:
+        for pc in distinct_pcs:
+            sub = deduped if len(distinct_pcs) == 1 else deduped.where(
+                key_expr.isin(keys_for(pc))
+            )
+            mx = sub.groupBy(*key_cols).agg(F.max(pc).alias(pc))
+            brows += (
+                sub.join(F.broadcast(mx), key_cols + [pc], "inner")
+                .select(
+                    *key_cols,
+                    F.col(pc).cast("string").alias("pointer"),
+                    entry_hash(["doc_id", "tokens"]).alias("hash"),
+                )
+                .distinct()
+                .collect()
+            )
     new_seen: Dict[str, Dict[str, list]] = {}
     for r in brows:
         new_seen.setdefault(row_key(r), {}).setdefault(r["pointer"], []).append(r["hash"])

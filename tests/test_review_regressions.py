@@ -145,3 +145,42 @@ def test_manifest_sink_all_null_event_time_keeps_pointer(spark, tmp_path):
     manifest_sink(state, str(tmp_path / "out"), key="stream.k")(df, 7)
     assert state.pointer("stream.k") == "2024-01-01 00:00:00"
     assert state.is_committed("stream.k-b7")
+
+
+def test_heterogeneous_pointer_columns_in_one_tick(spark, tmp_path):
+    """A timestamp-pointer connector and a zitadel-style numeric-sequence
+    connector resume side by side in ONE fleet tick, each committing its
+    own natively-typed watermark."""
+    rows = [
+        ("d1", [1], 1, "okta", dt.datetime(2024, 1, 1, 10), 5),
+        ("d2", [2], 1, "okta", dt.datetime(2024, 1, 1, 12), 6),
+        ("d3", [3], 1, "zitadel", dt.datetime(2024, 1, 1, 1), 9),
+        ("d4", [4], 1, "zitadel", dt.datetime(2024, 1, 1, 2), 10),
+    ]
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_time timestamp, seq long")
+    seq_path = str(tmp_path / "seq")
+    spark.createDataFrame(rows, schema).write.parquet(seq_path)
+    cfgs = [
+        ConnectorConfig.from_dict({"connector": "okta_system_log", "identity": "a", "source": "okta"}),
+        ConnectorConfig.from_dict({"connector": "zitadel_events", "identity": "b", "source": "zitadel"}),
+    ]
+    pcs = {cfgs[1].reference(): "seq"}
+    state = RunState(str(tmp_path / "state"))
+    run_fleet(spark, cfgs, seq_path, state, now=1000.0, pointer_cols=pcs)
+    assert state.pointer(cfgs[0].reference()) == "2024-01-01 12:00:00"
+    assert state.pointer(cfgs[1].reference()) == "10"  # native numeric max
+
+    # next tick: zitadel seq 9,10 already seen; a late seq-11 row and a
+    # late okta row arrive — each connector resumes from ITS OWN pointer
+    late = [
+        ("d5", [5], 1, "zitadel", dt.datetime(2024, 1, 1, 3), 11),
+        ("d6", [6], 1, "okta", dt.datetime(2024, 1, 1, 13), 7),
+    ]
+    spark.createDataFrame(late, schema).write.mode("append").parquet(seq_path)
+    r2 = run_fleet(spark, cfgs, seq_path, state, now=2000.0, pointer_cols=pcs)
+    zk = r2["per_key"][cfgs[1].reference()]
+    ok = r2["per_key"][cfgs[0].reference()]
+    assert zk["per_sink"]["logs"]["rows"] == 1 and ok["per_sink"]["logs"]["rows"] == 1
+    assert state.pointer(cfgs[1].reference()) == "11"
+    assert state.pointer(cfgs[0].reference()) == "2024-01-01 13:00:00"
