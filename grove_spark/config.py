@@ -216,10 +216,18 @@ def assemble_fleet(
     seen-hash pointer use its own column, typed natively.
 
     Configs sharing an identical processor chain form one branch: the
-    branch filters to its connectors' sources, applies per-connector
-    watermark predicates (OR of per-source ranges — still pushdown-able),
-    runs the shared chain for its 'processed' stream, and routes through
-    the configs' outputs. Branches union into one plan.
+    branch filters to its connectors' sources with a COARSE pushdown
+    predicate (OR of per-source watermark ranges — the union of what any
+    member still needs), enriches with the member dim (which fans each
+    row out to every member reading that source), then applies the EXACT
+    per-member watermark predicate and seen-hash anti-join keyed by the
+    FULL config identity (connector, identity, operation). Two identities
+    sharing one source therefore each filter by their OWN state — keying
+    the exact filter on ``source`` alone would let one identity's seen
+    hashes drop boundary rows the other has not ingested (data loss) and
+    the lower watermark re-admit rows the other already committed
+    (duplicates). Runs the shared chain for its 'processed' stream and
+    routes through the configs' outputs. Branches union into one plan.
 
     Plan shape (verified in tests/test_plan_hygiene.py): every join is a
     BroadcastHashJoin, zero Python, and each branch's ``In(source, [...])``
@@ -237,7 +245,6 @@ def assemble_fleet(
 
     watermarks = watermarks or {}
     seen_states = seen_states or {}
-    sources_dim = sources_dim_from_configs(spark, configs)
 
     groups: Dict[str, List[ConnectorConfig]] = {}
     for cfg in configs:
@@ -256,9 +263,10 @@ def assemble_fleet(
         # pointers order correctly. Connectors with boundary seen-hashes
         # use an INCLUSIVE bound + anti-join (exactly-once at the
         # boundary, grove/connectors/__init__.py:627-671).
-        pred = None
+        coarse = None   # source-keyed superset predicate — pushdown-able
+        exact = None    # full-key predicate applied AFTER the enrich fan-out
         seen_rows = []
-        ptr_case = None  # per-source pointer string for the seen anti-join
+        ptr_case = None  # per-MEMBER pointer string for the seen anti-join
         for m in members:
             pc = (pointer_cols or {}).get(m.reference(), pointer_col)
             wm = watermarks.get(m.reference())
@@ -269,26 +277,46 @@ def assemble_fleet(
             else:
                 cmp = F.lit(True)
             is_src = F.col("source") == m.source
-            p = is_src & cmp
-            pred = p if pred is None else (pred | p)
-            seen_rows += [(m.source, ptr, h) for ptr, hs in seen.items() for h in hs]
-            branch_ptr = F.when(is_src, F.col(pc).cast("string"))
-            ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
-                is_src, F.col(pc).cast("string")
+            c = is_src & cmp
+            coarse = c if coarse is None else (coarse | c)
+            is_m = (
+                (F.col("connector") == m.connector)
+                & (F.col("identity") == m.identity)
+                & (F.col("operation") == m.operation)
             )
-        if pred is not None:
-            branch = branch.where(pred)
+            e = is_m & cmp
+            exact = e if exact is None else (exact | e)
+            seen_rows += [
+                (m.connector, m.identity, m.operation, ptr, h)
+                for ptr, hs in seen.items() for h in hs
+            ]
+            branch_ptr = F.when(is_m, F.col(pc).cast("string"))
+            ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
+                is_m, F.col(pc).cast("string")
+            )
+        if coarse is not None:
+            branch = branch.where(coarse)
+        # enrich with the MEMBER dim only: a row whose source feeds K
+        # members becomes K rows, one per (connector, identity, operation)
+        branch = enrich(branch, sources_dim_from_configs(spark, members), on="source")
+        if exact is not None:
+            branch = branch.where(exact)
         if seen_rows:
             seen_df = spark.createDataFrame(
-                seen_rows, "source string, __p string, __h string"
+                seen_rows,
+                "connector string, identity string, operation string, "
+                "__p string, __h string",
             )
             branch = (
                 branch.withColumn("__h", entry_hash(list(hash_cols)))
                 .withColumn("__p", ptr_case)
-                .join(F.broadcast(seen_df), ["source", "__p", "__h"], "left_anti")
+                .join(
+                    F.broadcast(seen_df),
+                    ["connector", "identity", "operation", "__p", "__h"],
+                    "left_anti",
+                )
                 .drop("__p", "__h")
             )
-        branch = enrich(branch, sources_dim, on="source")
         deduped_branches.append(branch)
         # the branch's own members' outputs only, keyed by the FULL
         # config identity so same-named connectors don't cross-route

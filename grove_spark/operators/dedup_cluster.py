@@ -54,6 +54,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = 1
     for i in range(max_iter):
         # candidate label per node: min of own and all neighbours' labels
         neigh = (
@@ -77,6 +78,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # one-hop propagation needs O(diameter) rounds: a chain longer
+        # than max_iter would otherwise return silently WRONG labels and
+        # dedup_clusters would pick wrong keepers. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

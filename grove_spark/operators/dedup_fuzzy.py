@@ -216,15 +216,18 @@ def minhash_dedup_pairs(
     # Both sigs and cands are consumed by MULTIPLE downstream subtrees
     # (banding reads sigs twice for the bucket-size cap; verification
     # reads cands three times); without materialization each reuse
-    # recomputes the whole shingle+signature pipeline. persist() beats
-    # localCheckpoint 2-3x here (checkpointing copies partitions in a
-    # separate job), and the cache is released DETERMINISTICALLY: once
-    # the candidate pairs are materialized the signatures are
-    # unpersisted, so each call leaves only the tiny (a, b) pair list
-    # cached — the one frame the returned plan still needs.
+    # recomputes the whole shingle+signature pipeline. sigs persist() is
+    # released deterministically once the candidates materialize. The
+    # candidate list itself is localCheckpoint'ed rather than persist'ed:
+    # a persist would pin the frame in the cache manager for the session
+    # lifetime (nobody can unpersist it after this returns — repeated
+    # pipeline runs would accumulate leaked storage), while a local
+    # checkpoint's blocks are released by the ContextCleaner as soon as
+    # the returned DataFrame is garbage-collected.
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col).persist()
-    cands.count()  # materialize candidates, then release the signatures
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col).localCheckpoint(
+        eager=True
+    )
     sigs.unpersist()
     if not verify:
         return cands
@@ -263,24 +266,27 @@ def simhash(
 
     The hashed-word array is materialized ONCE in a separate projection:
     Catalyst does no CSE across aggregate lambdas, so inlining xxhash64
-    into each of the 64 bit aggregates would re-hash every word 64×
+    into the bit aggregation would re-hash every word per bit
     (CollapseProject keeps the two projections apart because ``__hw`` is
-    non-cheap and referenced many times)."""
+    non-cheap and referenced many times). The bit sums fold in a SINGLE
+    traversal of the array into a 64-slot accumulator — the earlier form
+    ran 64 independent ``aggregate`` lambdas, re-walking the array once
+    per bit."""
     words = F.array_distinct(F.split(F.col(text_col), " "))
     pre = docs.select(id_col, F.transform(words, lambda w: F.xxhash64(w)).alias("__hw"))
-    bit_sums = [
-        F.aggregate(
-            F.col("__hw"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    tmp = pre.select(id_col, *bit_sums)
+    # SQL form: PySpark's F.shiftright only takes an int shift amount,
+    # but the underlying ShiftRight expression accepts a column — needed
+    # to compute all 64 bit deltas per word inside one lambda.
+    bit_sums = F.expr(
+        f"aggregate(__hw, array_repeat(0, {bits}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {bits - 1}), "
+        "i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END), "
+        "(a, d) -> a + d))"
+    )
+    tmp = pre.select(id_col, bit_sums.alias("__bs"))
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
+        sig = sig + F.when(F.col("__bs")[i] > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
     return tmp.select(id_col, sig.alias("simhash"))
 
 

@@ -62,13 +62,15 @@ def parse_catalyst(raw: Column, pattern: str = DEFAULT_PATTERN) -> Column:
     Catalyst caches the compiled Pattern per task; N extracts over the
     same line stay in one codegen stage.
     """
-    names = _group_names(pattern)
-    # regexp_extract uses numbered groups; named groups are also numbered
-    # in order of appearance.
+    # regexp_extract addresses groups by NUMBER; groupindex carries each
+    # named group's true number, which stays correct even when the
+    # pattern mixes in unnamed capturing groups (order-of-appearance
+    # numbering silently extracted the wrong fields for those).
+    groupindex = re.compile(pattern).groupindex
     plain = re.sub(r"\(\?P<\w+>", "(", pattern)
     fields = [
-        F.regexp_extract(raw, plain, i + 1).alias(name)
-        for i, name in enumerate(names)
+        F.regexp_extract(raw, plain, num).alias(name)
+        for name, num in groupindex.items()
     ]
     return F.struct(*fields)
 
@@ -81,7 +83,9 @@ def parse_arrow(raw: Column, pattern: str = DEFAULT_PATTERN) -> Column:
 
     @F.pandas_udf(out_t)
     def extract(s: pd.Series) -> pd.DataFrame:
-        df = s.str.extract(pattern)
+        # select the NAMED columns: str.extract also emits positional
+        # columns for unnamed capturing groups, which the struct lacks
+        df = s.str.extract(pattern)[names]
         return df.fillna("")  # regexp_extract yields '' on miss; keep parity
 
     return extract(raw)
@@ -125,14 +129,15 @@ def parse_stage_multi(
                 all_fields.append(n)
 
     def struct_for(p: str) -> Column:
-        names = set(_group_names(p))
+        # groupindex gives the true group number per name (unnamed
+        # capturing groups shift positional numbering — see parse_catalyst)
+        groupindex = re.compile(p).groupindex
         plain = re.sub(r"\(\?P<\w+>", "(", p)
-        order = _group_names(p)
         cols = []
         for n in all_fields:
-            if n in names:
+            if n in groupindex:
                 cols.append(
-                    F.regexp_extract(F.col(raw_col), plain, order.index(n) + 1).alias(n)
+                    F.regexp_extract(F.col(raw_col), plain, groupindex[n]).alias(n)
                 )
             else:
                 cols.append(F.lit(None).cast("string").alias(n))

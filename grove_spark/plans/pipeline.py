@@ -210,9 +210,15 @@ def run_incremental(
         seen_state=seen_df, hash_cols=hash_cols, **plan_kw,
     )
 
-    # several actions follow (write, counts, max-pointer) — persist the
-    # routed stream once instead of rescanning the source per action
-    result.routed.persist()
+    # several actions follow (counts, write, boundary max + join) and ALL
+    # of them share the deduped subtree — persist THAT, not the routed
+    # frame: routed is post-salted-repartition while counts aggregates the
+    # pre-repartition lineage, so persisting routed left counts AND the
+    # write each re-running the whole scan→parse→enrich→route pipeline
+    # (three source scans per run). With the cache on deduped every
+    # downstream action re-derives only the narrow in-memory
+    # parse/enrich/route projections; the source is scanned ONCE.
+    result.deduped.persist()
     counts_rows = result.counts.collect()  # tiny: one row per descriptor
     data_paths = []
     # skip empty collections entirely, like the reference does for empty
@@ -229,11 +235,7 @@ def run_incremental(
     from grove_spark.operators.dedup import boundary_hashes
 
     if counts_rows:
-        # boundary_hashes runs two actions (max agg + join) over the
-        # deduped lineage — persist so they don't re-scan the source
-        result.deduped.persist()
         brows = boundary_hashes(result.deduped, list(hash_cols), pointer_col).collect()
-        result.deduped.unpersist()
     else:
         brows = []
     if brows:
@@ -259,6 +261,6 @@ def run_incremental(
         pointer=new_ptr, seen=new_seen, metrics=metrics, data_paths=data_paths,
         expected_version=base_version,
     )
-    result.routed.unpersist()
+    result.deduped.unpersist()
     result.run_id = run_id
     return result

@@ -77,13 +77,20 @@ def csv_log_scan(
     pointer_col: str,
     watermark: Optional[str] = None,
     header: bool = True,
+    schema=None,
 ) -> DataFrame:
     """CSV event-log scan (S7 — sf/event_log.py:190-200 dict-ifies rows;
-    here the csv reader infers the schema and the pointer filter is a
-    real predicate instead of a per-row comparison)."""
+    the pointer filter is a real predicate instead of a per-row
+    comparison). Pass an explicit ``schema`` in production: inference
+    reads the data TWICE (one full pass just to type the columns)."""
     from grove_spark.operators.dedup import watermark_literal
 
-    df = spark.read.option("header", str(header).lower()).option("inferSchema", "true").csv(path)
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
     if watermark is not None:
         df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
     return df

@@ -184,3 +184,102 @@ def test_heterogeneous_pointer_columns_in_one_tick(spark, tmp_path):
     assert zk["per_sink"]["logs"]["rows"] == 1 and ok["per_sink"]["logs"]["rows"] == 1
     assert state.pointer(cfgs[1].reference()) == "11"
     assert state.pointer(cfgs[0].reference()) == "2024-01-01 13:00:00"
+
+
+def test_shared_source_identities_with_diverged_state(spark, tmp_path):
+    """Two identities of one connector sharing the SAME source (the
+    from_dict default derives source from the connector prefix) with
+    DIVERGED watermark/seen state — one added a tick later. The exact
+    watermark + seen filtering must key on the full (connector, identity,
+    operation), not on source: source-keyed seen hashes dropped boundary
+    rows the late identity never ingested (data loss) and the late
+    identity's empty watermark re-admitted the early identity's
+    already-committed rows (duplicates)."""
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_time timestamp")
+    rows = [
+        ("d1", [1], 1, "okta", dt.datetime(2024, 1, 1, 10)),
+        ("d2", [2], 1, "okta", dt.datetime(2024, 1, 1, 12)),
+    ]
+    seq_path = str(tmp_path / "seq")
+    spark.createDataFrame(rows, schema).write.parquet(seq_path)
+    # both identities derive source="okta" from the connector prefix
+    a = ConnectorConfig.from_dict({"connector": "okta_system_log", "identity": "corp"})
+    b = ConnectorConfig.from_dict({"connector": "okta_system_log", "identity": "dev"})
+    assert a.source == b.source == "okta"
+    state = RunState(str(tmp_path / "state"))
+
+    # tick 1: only corp exists — commits pointer 12:00 + boundary seen(d2)
+    r1 = run_fleet(spark, [a], seq_path, state, now=1000.0)
+    assert r1["per_key"][a.reference()]["per_sink"]["logs"]["rows"] == 2
+    assert state.pointer(a.reference()) == "2024-01-01 12:00:00"
+
+    # dev is onboarded; a late boundary row (same instant, new content)
+    # and a newer row arrive
+    late = [
+        ("d3", [3], 1, "okta", dt.datetime(2024, 1, 1, 12)),
+        ("d4", [4], 1, "okta", dt.datetime(2024, 1, 1, 13)),
+    ]
+    spark.createDataFrame(late, schema).write.mode("append").parquet(seq_path)
+    r2 = run_fleet(spark, [a, b], seq_path, state, now=2000.0)
+
+    # corp resumes from ITS state: boundary row d3 + d4, d1/d2 not re-read
+    assert r2["per_key"][a.reference()]["per_sink"]["logs"]["rows"] == 2, (
+        "corp re-ingested rows below its own watermark (dev's empty "
+        "watermark leaked across the shared source)"
+    )
+    # dev has never ingested anything: ALL four rows, including the
+    # boundary row whose hash sits in corp's seen state
+    assert r2["per_key"][b.reference()]["per_sink"]["logs"]["rows"] == 4, (
+        "dev lost rows to corp's seen-hash state on the shared source"
+    )
+    assert state.pointer(a.reference()) == "2024-01-01 13:00:00"
+    assert state.pointer(b.reference()) == "2024-01-01 13:00:00"
+
+
+def test_parse_with_unnamed_capturing_group(spark):
+    """An unnamed capturing group in a user pattern must not shift the
+    named groups' numbering (positional mapping extracted wrong fields).
+    Catalyst, arrow and the multi-pattern CASE must all agree."""
+    from grove_spark.plans.parse import parse_stage, parse_stage_multi
+
+    pat = r"^(\d+)-(?P<level>\w+):(?P<msg>\w+)$"
+    df = spark.createDataFrame(
+        [("1-warn:disk", "s1")], "raw string, source string"
+    )
+    for engine in ("catalyst", "arrow"):
+        row = parse_stage(df, "raw", pat, engine=engine).select("parsed").first()
+        assert row["parsed"]["level"] == "warn", engine
+        assert row["parsed"]["msg"] == "disk", engine
+    row = parse_stage_multi(df, {"s1": pat}).select("parsed").first()
+    assert row["parsed"]["level"] == "warn"
+    assert row["parsed"]["msg"] == "disk"
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A chain longer than max_iter rounds must raise, not return
+    silently wrong labels (wrong keepers downstream)."""
+    from grove_spark.operators.dedup_cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a int, b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # with enough rounds the same chain converges to component 0
+    labels = connected_components(chain, max_iter=10)
+    assert {r["component"] for r in labels.collect()} == {0}
+
+
+def test_csv_log_scan_explicit_schema(spark, tmp_path):
+    """csv_log_scan(schema=) must skip inference and type the pointer
+    column from the schema (inference reads the data twice)."""
+    from grove_spark.sources.scans import csv_log_scan
+
+    p = tmp_path / "log.csv"
+    p.write_text("seq,msg\n1,a\n2,b\n3,c\n")
+    df = csv_log_scan(
+        spark, str(p), "seq", watermark="1", schema="seq long, msg string"
+    )
+    assert df.schema["seq"].dataType.typeName() == "long"
+    assert sorted(r["seq"] for r in df.collect()) == [2, 3]
