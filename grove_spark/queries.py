@@ -1663,6 +1663,119 @@ ORACLE.update({
     "heavy_hitters": SQL_HEAVY_HITTERS,
 })
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 13-gram with a
+    held-out benchmark split (doc_id % 10 == 0) are flagged, with exact
+    per-doc overlap counts. The Spark side probes xxhash64 gram ids
+    against a broadcast benchmark set (operators/decontaminate.py); the
+    oracle recomputes the overlap on the raw gram strings."""
+    from grove_spark.operators.decontaminate import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    s = contamination_scores(corpus, bench, n=13)
+    return s.select(
+        "doc_id", "n_grams", "n_contaminated", "contaminated_frac",
+        (F.col("n_contaminated") >= 1).alias("is_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+cg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+       FROM cw, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 12, 0))) AS i) t),
+bw AS (SELECT string_split(text, ' ') AS w FROM bench),
+bg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gram
+       FROM bw, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 12, 0))) AS i) t),
+per AS (
+  SELECT cg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+  FROM cg LEFT JOIN bg USING (gram) GROUP BY cg.doc_id)
+SELECT c.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_contaminated AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS contaminated_frac,
+       COALESCE(p.n_contaminated, 0) >= 1 AS is_contaminated
+FROM corpus c LEFT JOIN per p USING (doc_id)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: deterministic emails/phones derived from doc_id
+    are planted into each document, then masked by the compiled
+    regexp_replace chain (operators/redact.py); per-row hit counts are
+    computed on the pre-redaction text. Both engines construct the SAME
+    dirty input, so redacted text and counts must match byte-for-byte."""
+    from grove_spark.operators.redact import DEFAULT_RULES, redaction_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    phone_mid = F.lpad(((F.col("doc_id") * 7) % 900 + 100).cast("string"), 3, "0")
+    phone_end = F.lpad(((F.col("doc_id") * 13) % 9000 + 1000).cast("string"), 4, "0")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com or 555-"),
+        phone_mid, F.lit("-"), phone_end,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" backup admin"), did, F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+    )
+    rules = dict((name, pat) for name, pat, _ in DEFAULT_RULES)
+    df = docs.select("doc_id", dirty.alias("__dirty"))
+    return df.select(
+        "doc_id",
+        redaction_expr(F.col("__dirty")).alias("redacted"),
+        F.regexp_count(F.col("__dirty"), F.lit(rules["email"])).cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("__dirty"), F.lit(rules["phone"])).cast("bigint").alias("n_phone"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from grove_spark.operators.redact import DEFAULT_RULES
+
+    redacted = "dirty"
+    for _, pat, repl in DEFAULT_RULES:
+        p = pat.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{p}', '{repl}', 'g')"
+    rules = dict((name, pat) for name, pat, _ in DEFAULT_RULES)
+    email = rules["email"].replace("'", "''")
+    phone = rules["phone"].replace("'", "''")
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+         lpad(CAST((doc_id * 7) % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR), 4, '0') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' backup admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+              ELSE '' END AS dirty
+  FROM documents)
+SELECT doc_id,
+       {redacted} AS redacted,
+       CAST(len(regexp_extract_all(dirty, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(dirty, '{phone}')) AS BIGINT) AS n_phone
+FROM dirty
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+QUERIES.update({
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
+})
+ORACLE.update({
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_redact": SQL_PII_REDACT,
+})
+
 # queries with no SQL-expressible oracle: the driver records a weaker
 # rows-only check for these by design
 NO_ORACLE: set = set()
