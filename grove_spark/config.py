@@ -426,6 +426,7 @@ def run_fleet(
         from grove_spark.operators.sinks import write_partitioned_parquet
 
         run_dir = f"{out_path}/part-{run_id}"
+        state.register_pending(run_dir)  # orphan GC must not race the write
         write_partitioned_parquet(routed, run_dir)
         data_paths.append(run_dir)
 

@@ -226,6 +226,7 @@ def run_incremental(
     # partition write would publish a schemaless, unreadable directory
     if out_path and counts_rows:
         run_dir = f"{out_path}/part-{run_id}"
+        state.register_pending(run_dir)  # orphan GC must not race the write
         write_partitioned_parquet(result.routed, run_dir)
         data_paths.append(run_dir)
     # boundary state for the NEXT run: hashes of rows AT the new max

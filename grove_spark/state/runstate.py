@@ -8,18 +8,29 @@ window_start, window_end, last, seen). Its known weakness: outputs are
 written BEFORE the pointer commit (:443-445 comment), so a crash between
 the two duplicates a page (at-least-once).
 
-This module does better with a transactional manifest, the local-mode
-stand-in for an Iceberg snapshot commit (production: the same protocol
-rides Iceberg's atomic snapshot + summary properties):
+This module does better with a transactional SHARDED manifest, the
+local-mode stand-in for an Iceberg snapshot commit (production: the same
+protocol rides Iceberg's atomic snapshot + summary properties):
 
-* each run writes data files under ``part-<run_id>/`` inside the sink
-  root, then atomically publishes a manifest (``os.replace``) recording
-  {run_id, committed data paths, new pointer, seen-hashes, per-partition
-  metrics}. Readers/resumers only see manifested runs -> a crash between
-  data write and manifest publish leaves an orphan directory, not a
-  duplicate: exactly-once effect on resume, beating the reference.
+* state is sharded one file per key (``keys/<md5(key)>-<gen>.json``) —
+  the same shape as the reference's per-cache-key DynamoDB rows
+  (grove/caches/aws_dynamodb.py:24-57) — plus one append-style run
+  record per commit (``runs/<version>.json``). The root pointer
+  ``_state.json`` holds only {version, key → generation}: a commit
+  writes the touched keys' new generation files and ONE run record,
+  then atomically publishes the root (``os.replace``). Commit cost is
+  O(keys touched); it never rewrites history or other keys' seen-hash
+  state (the round-2 single-document design rewrote the full history
+  per commit — O(total history) per fleet tick).
+* generation files are immutable once written; a crash between the key/
+  run writes and the root replace leaves unreferenced generations that
+  the next commit at that version simply overwrites — readers only ever
+  see committed generations: exactly-once effect on resume.
+* data directories written BEFORE the commit register as PENDING
+  (``pending/`` markers) so the orphan GC can never delete an in-flight
+  run's data out from under its commit.
 * per-partition processed/failed metrics ride ``df.observe()``
-  (the `_saved` telemetry, :144-148) and land in the same manifest —
+  (the `_saved` telemetry, :144-148) and land in the same run record —
   checkpoint lineage per partition.
 
 Pure batch-side Python on the driver; no executor state.
@@ -28,16 +39,16 @@ Pure batch-side Python on the driver; no executor state.
 from __future__ import annotations
 
 import contextlib
+import glob as _glob
 import hashlib
 import json
 import os
 import tempfile
 import time
 import uuid
-from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
-try:  # POSIX-only; the manifest os.replace is still atomic without it
+try:  # POSIX-only; the root os.replace is still atomic without it
     import fcntl
 except ImportError:  # pragma: no cover
     fcntl = None  # type: ignore[assignment]
@@ -58,27 +69,36 @@ def reference(connector: str, identity: str, operation: str = "all") -> str:
     return key
 
 
-@dataclass
-class Manifest:
-    run_id: str
-    committed: Dict[str, Any] = field(default_factory=dict)  # key -> state
-    history: list = field(default_factory=list)
+def _atomic_write(path: str, payload: dict) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._w-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
 
 
 class RunState:
-    """Manifest-backed run state over a directory.
+    """Sharded-manifest run state over a directory.
 
-    Layout: ``<root>/_state.json`` is the single atomically-replaced
-    source of truth; each entry per state key carries pointer,
-    previous_pointer, last_run, seen hashes and the last run's metrics +
-    data paths (lineage).
+    Layout: ``<root>/_state.json`` is the atomically-replaced root
+    pointer {version, entries: {key: generation}}; each key's state
+    (pointer, previous_pointer, last_run, seen hashes, run_id) lives in
+    its own immutable generation file under ``keys/``; each commit's
+    lineage (metrics + data paths per key) is one record file under
+    ``runs/``; ``pending/`` holds markers for data directories written
+    ahead of their commit.
     """
 
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._keys_dir = os.path.join(root, "keys")
+        self._runs_dir = os.path.join(root, "runs")
+        self._pending_dir = os.path.join(root, "pending")
+        for d in (root, self._keys_dir, self._runs_dir, self._pending_dir):
+            os.makedirs(d, exist_ok=True)
         self._path = os.path.join(root, "_state.json")
         self._lock_path = os.path.join(root, "_state.lock")
+        self._migrate_legacy()
 
     @contextlib.contextmanager
     def _exclusive(self):
@@ -97,15 +117,86 @@ class RunState:
             finally:
                 fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
-    # -- reads ---------------------------------------------------------------
+    def _migrate_legacy(self) -> None:
+        """Round-2 single-document manifests load transparently: shard
+        entries into per-key generation files, preserve history order in
+        one run record, then publish the v2 root."""
+        if not os.path.exists(self._path):
+            return
+        with open(self._path) as f:
+            doc = json.load(f)
+        if doc.get("format") == 2:
+            return
+        with self._exclusive():
+            with open(self._path) as f:
+                doc = json.load(f)
+            if doc.get("format") == 2:  # lost the migration race — done
+                return
+            v = max(int(doc.get("version", 0)), 1)
+            entries = {}
+            for key, entry in doc.get("entries", {}).items():
+                _atomic_write(self._key_file(key, v), entry)
+                entries[key] = v
+            history = doc.get("history", [])
+            if history:
+                _atomic_write(self._run_file(v), {"records": history})
+            _atomic_write(
+                self._path, {"format": 2, "version": v, "entries": entries}
+            )
+
+    # -- layout ----------------------------------------------------------------
+
+    def _key_file(self, key: str, gen: int) -> str:
+        return os.path.join(
+            self._keys_dir, f"{hashlib.md5(key.encode()).hexdigest()}-{gen}.json"
+        )
+
+    def _run_file(self, version: int) -> str:
+        return os.path.join(self._runs_dir, f"{version:012d}.json")
+
+    def _load_root(self) -> dict:
+        if not os.path.exists(self._path):
+            return {"format": 2, "version": 0, "entries": {}}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _read_entry(self, key: str, root: Optional[dict] = None) -> Optional[dict]:
+        root = root or self._load_root()
+        gen = root["entries"].get(key)
+        if gen is None:
+            return None
+        with open(self._key_file(key, gen)) as f:
+            return json.load(f)
+
+    def _run_records(self, root: Optional[dict] = None) -> List[dict]:
+        """All committed run records in commit order. Only files whose
+        version <= the root version are trusted — a crashed commit's
+        run file is invisible until that version actually publishes."""
+        root = root or self._load_root()
+        out: List[dict] = []
+        for p in sorted(_glob.glob(os.path.join(self._runs_dir, "*.json"))):
+            try:
+                v = int(os.path.splitext(os.path.basename(p))[0])
+            except ValueError:  # pragma: no cover - foreign file
+                continue
+            if v > root["version"]:
+                continue
+            with open(p) as f:
+                out.extend((v, r) for r in json.load(f)["records"])
+        return [r for _, r in out]
 
     def _load(self) -> dict:
-        if not os.path.exists(self._path):
-            return {"entries": {}, "history": [], "version": 0}
-        with open(self._path) as f:
-            state = json.load(f)
-        state.setdefault("version", 0)
-        return state
+        """Debug/compat view assembling the full state (the round-2
+        single-document shape). O(total keys + history) — never used on
+        the commit path."""
+        root = self._load_root()
+        return {
+            "version": root["version"],
+            "entries": {k: self._read_entry(k, root) for k in root["entries"]},
+            "history": self._run_records(root),
+        }
+
+    # -- reads ---------------------------------------------------------------
 
     def version(self) -> int:
         """Snapshot version for optimistic concurrency (the Spark-era
@@ -113,10 +204,10 @@ class RunState:
         grove/connectors/__init__.py:1067-1173: instead of locking up
         front, a commit fails if another run committed in between —
         Iceberg's optimistic snapshot-commit model)."""
-        return self._load()["version"]
+        return self._load_root()["version"]
 
     def get(self, key: str) -> dict | None:
-        return self._load()["entries"].get(key)
+        return self._read_entry(key)
 
     def pointer(self, key: str) -> Optional[str]:
         e = self.get(key)
@@ -136,6 +227,43 @@ class RunState:
         now = time.time() if now is None else now
         return last is None or (now - last) >= frequency_s
 
+    # -- pending data-path registry -------------------------------------------
+
+    def _pending_marker(self, path: str) -> str:
+        norm = os.path.normpath(path)
+        return os.path.join(
+            self._pending_dir, hashlib.md5(norm.encode()).hexdigest() + ".json"
+        )
+
+    def register_pending(self, path: str) -> None:
+        """Declare a data directory about to be written for a future
+        commit. The orphan GC skips pending paths, so a concurrent
+        expire_runs can never delete an in-flight run's data between the
+        write and its manifest publish (writers hold no lock during the
+        write by design — the write is the long part)."""
+        _atomic_write(
+            self._pending_marker(path),
+            {"path": os.path.normpath(path), "ts": time.time()},
+        )
+
+    def _pending_paths(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for p in _glob.glob(os.path.join(self._pending_dir, "*.json")):
+            try:
+                with open(p) as f:
+                    doc = json.load(f)
+                out[doc["path"]] = doc.get("ts", 0.0)
+            except (OSError, json.JSONDecodeError, KeyError):  # pragma: no cover
+                continue
+        return out
+
+    def _clear_pending(self, paths) -> None:
+        for p in paths:
+            try:
+                os.remove(self._pending_marker(p))
+            except FileNotFoundError:
+                pass
+
     # -- commits ---------------------------------------------------------------
 
     def new_run_id(self) -> str:
@@ -153,14 +281,14 @@ class RunState:
         expected_version: Optional[int] = None,
     ) -> None:
         """Atomically publish a run: data paths + pointer + dedup state +
-        metrics in ONE manifest replace. The Iceberg analog is one
-        snapshot commit carrying summary properties.
+        metrics in ONE root replace. The Iceberg analog is one snapshot
+        commit carrying summary properties.
 
         With ``expected_version`` the commit is conditional: it raises
         ConcurrentCommitError if another run committed since that
         version was read — the reference's ConcurrencyException outcome
         (tests/test_connectors_lock.py). The version check and the
-        manifest replace happen under one exclusive file lock, so the
+        root replace happen under one exclusive file lock, so the
         check cannot be raced by another local committer."""
         self.commit_many(
             [
@@ -185,29 +313,38 @@ class RunState:
         expected_version: Optional[int] = None,
     ) -> None:
         """Atomically publish ONE run covering many state keys (the fleet
-        tick): every connector's pointer + seen + metrics land in a single
-        manifest replace — all-or-nothing, exactly like one Iceberg
-        snapshot commit carrying the whole batch."""
+        tick): every connector's pointer + seen + metrics land behind a
+        single root replace — all-or-nothing, exactly like one Iceberg
+        snapshot commit carrying the whole batch. Writes touch ONLY the
+        updated keys' generation files + one run record + the root; cost
+        is O(keys touched), independent of history length and of other
+        keys' state size."""
         with self._exclusive():
-            state = self._load()
-            if expected_version is not None and state["version"] != expected_version:
+            root = self._load_root()
+            if expected_version is not None and root["version"] != expected_version:
                 raise ConcurrentCommitError(
-                    f"state moved from v{expected_version} to v{state['version']}"
+                    f"state moved from v{expected_version} to v{root['version']}"
                 )
-            state["version"] += 1
+            v = root["version"] + 1
+            records = []
+            old_gens = []
+            committed_paths = []
             for u in updates:
                 key = u["key"]
-                prev = state["entries"].get(key, {})
+                prev = self._read_entry(key, root) or {}
                 pointer = u.get("pointer")
                 seen = u.get("seen")
-                state["entries"][key] = {
+                entry = {
                     "pointer": pointer if pointer is not None else prev.get("pointer"),
                     "previous_pointer": prev.get("pointer"),
                     "last_run": time.time() if now is None else now,
                     "seen": seen if seen is not None else prev.get("seen", {}),
                     "run_id": run_id,
                 }
-                state["history"].append(
+                _atomic_write(self._key_file(key, v), entry)
+                old_gens.append((key, root["entries"].get(key)))
+                root["entries"][key] = v
+                records.append(
                     {
                         "run_id": run_id,
                         "key": key,
@@ -216,16 +353,34 @@ class RunState:
                         "data_paths": u.get("data_paths") or [],
                     }
                 )
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
-            with os.fdopen(fd, "w") as f:
-                json.dump(state, f)
-            os.replace(tmp, self._path)  # the atomic "snapshot commit"
+                committed_paths += u.get("data_paths") or []
+            _atomic_write(self._run_file(v), {"records": records})
+            root["version"] = v
+            _atomic_write(self._path, root)  # the atomic "snapshot commit"
+            # post-publish housekeeping: superseded generations (keep the
+            # immediately-previous one for readers that raced the root
+            # swap) and pending markers for now-committed data dirs
+            for key, g in old_gens:
+                if g is None:
+                    continue
+                for stale in _glob.glob(
+                    self._key_file(key, 0).replace("-0.json", "-*.json")
+                ):
+                    try:
+                        sg = int(stale.rsplit("-", 1)[1][:-5])
+                    except ValueError:  # pragma: no cover
+                        continue
+                    if sg < g:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(stale)
+            self._clear_pending(committed_paths)
 
     def expire_runs(
         self,
         keep_last: int = 100,
         delete_orphans_under: Optional[str] = None,
         dry_run: bool = False,
+        orphan_grace_s: float = 0.0,
     ) -> dict:
         """Retention — the Iceberg ``expire_snapshots`` analog.
 
@@ -234,7 +389,12 @@ class RunState:
         deletes the DATA directories referenced ONLY by expired records.
         With ``delete_orphans_under`` it also removes ``part-*`` dirs in
         that root that no manifested run ever referenced (the residue of
-        crashed runs — invisible to readers, but they hold disk).
+        crashed runs — invisible to readers, but they hold disk), EXCEPT
+        dirs registered as pending by an in-flight writer
+        (register_pending) or younger than ``orphan_grace_s`` (mtime) —
+        either guard closes the race where a writer's pre-commit data
+        dir looked like an orphan. Paths are normpath-compared so a
+        trailing slash can't make every committed dir look orphaned.
 
         Runs under the commit lock so a concurrent committer can't
         publish between the read and the rewrite. Returns
@@ -242,43 +402,86 @@ class RunState:
         import shutil
 
         with self._exclusive():
-            state = self._load()
+            root = self._load_root()
+            per_file: List[tuple] = []  # (version, record)
+            for p in sorted(_glob.glob(os.path.join(self._runs_dir, "*.json"))):
+                try:
+                    v = int(os.path.splitext(os.path.basename(p))[0])
+                except ValueError:  # pragma: no cover
+                    continue
+                if v > root["version"]:
+                    continue
+                with open(p) as f:
+                    for r in json.load(f)["records"]:
+                        per_file.append((v, r))
             per_key: Dict[str, list] = {}
-            for i, h in enumerate(state["history"]):
+            for i, (_, h) in enumerate(per_file):
                 per_key.setdefault(h["key"], []).append(i)
             keep_idx = set()
             for idxs in per_key.values():
                 keep_idx.update(idxs[-keep_last:])
-            keep = [h for i, h in enumerate(state["history"]) if i in keep_idx]
-            expired = [h for i, h in enumerate(state["history"]) if i not in keep_idx]
-            kept_paths = {p for h in keep for p in h["data_paths"]}
-            dead_paths = {
-                p for h in expired for p in h["data_paths"] if p not in kept_paths
+            keep = [(v, h) for i, (v, h) in enumerate(per_file) if i in keep_idx]
+            expired = [h for i, (_, h) in enumerate(per_file) if i not in keep_idx]
+            norm = os.path.normpath
+            kept_paths = {norm(p) for _, h in keep for p in h["data_paths"]}
+            dead_norm = {
+                norm(p)
+                for h in expired
+                for p in h["data_paths"]
+                if norm(p) not in kept_paths
             }
             orphans = set()
             if delete_orphans_under:
-                import glob as _glob
-
                 all_referenced = {
-                    p for h in state["history"] for p in h["data_paths"]
+                    norm(p) for _, h in per_file for p in h["data_paths"]
                 }
-                orphans = {
-                    d
-                    for d in _glob.glob(os.path.join(delete_orphans_under, "part-*"))
-                    if d not in all_referenced
-                }
+                pending = set(self._pending_paths())
+                cutoff = time.time() - orphan_grace_s
+                for d in _glob.glob(os.path.join(delete_orphans_under, "part-*")):
+                    nd = norm(d)
+                    if nd in all_referenced or nd in pending:
+                        continue
+                    try:
+                        if os.path.getmtime(d) > cutoff:
+                            continue
+                    except OSError:  # pragma: no cover - raced deletion
+                        continue
+                    orphans.add(nd)
             if not dry_run:
-                for p in sorted(dead_paths | orphans):
+                # housekeeping: markers whose path committed anyway, or
+                # whose directory never materialized, are dead weight
+                for pp in self._pending_paths():
+                    if pp in {norm(p) for _, h in per_file for p in h["data_paths"]} or (
+                        not os.path.exists(pp)
+                    ):
+                        self._clear_pending([pp])
+                for p in sorted(dead_norm | orphans):
                     shutil.rmtree(p, ignore_errors=True)
-                state["history"] = keep
-                state["version"] += 1
-                fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._state-")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(state, f)
-                os.replace(tmp, self._path)
+                # rewrite only run files that lost records; drop empties
+                by_version: Dict[int, list] = {}
+                for v, h in keep:
+                    by_version.setdefault(v, []).append(h)
+                for p in sorted(_glob.glob(os.path.join(self._runs_dir, "*.json"))):
+                    try:
+                        v = int(os.path.splitext(os.path.basename(p))[0])
+                    except ValueError:  # pragma: no cover
+                        continue
+                    if v > root["version"]:
+                        continue
+                    new_records = by_version.get(v, [])
+                    with open(p) as f:
+                        cur = json.load(f)["records"]
+                    if cur == new_records:
+                        continue
+                    if new_records:
+                        _atomic_write(p, {"records": new_records})
+                    else:
+                        os.remove(p)
+                root["version"] += 1
+                _atomic_write(self._path, root)
         return {
             "expired_records": len(expired),
-            "deleted_dirs": sorted(dead_paths),
+            "deleted_dirs": sorted(dead_norm),
             "orphans_deleted": sorted(orphans),
         }
 
@@ -286,11 +489,11 @@ class RunState:
         """Every data path any manifested run published — what a reader
         may consume. Orphan part-dirs from crashed runs are invisible."""
         out: list = []
-        for h in self._load()["history"]:
+        for h in self._run_records():
             for p in h["data_paths"]:
                 if p not in out:  # fleet runs share one dir across connectors
                     out.append(p)
         return out
 
     def is_committed(self, run_id: str) -> bool:
-        return any(h["run_id"] == run_id for h in self._load()["history"])
+        return any(h["run_id"] == run_id for h in self._run_records())

@@ -107,6 +107,7 @@ def manifest_sink(state, out_path: str, key: str = "stream.default"):
         if not counts:
             return  # empty batch: nothing to publish
         run_dir = f"{out_path}/part-{run_id}"
+        state.register_pending(run_dir)  # orphan GC must not race the write
         write_partitioned_parquet(df, run_dir)
         ptrs = [r["ptr"] for r in counts if r["ptr"] is not None]
         state.commit(

@@ -1,0 +1,168 @@
+"""Sharded run-state manifest: commit cost O(keys touched), pending-path
+orphan protection, legacy-format migration."""
+
+import json
+import os
+import time
+
+import pytest
+
+from grove_spark.state.runstate import ConcurrentCommitError, RunState
+
+
+def _entry_files(state):
+    return set(os.listdir(os.path.join(state.root, "keys")))
+
+
+def test_fleet_tick_commit_is_o_keys_touched(tmp_path):
+    """A 1000-key fleet tick commits once; later single-key commits must
+    rewrite only that key's shard + one run record + the root — never
+    the other 999 keys' files or the accumulated history."""
+    state = RunState(str(tmp_path / "state"))
+    keys = [f"conn{i}.idhash" for i in range(1000)]
+    big_seen = {"2024-01-01": [f"h{j}" for j in range(50)]}
+    state.commit_many(
+        [{"key": k, "pointer": "p0", "seen": big_seen} for k in keys], "tick0"
+    )
+    assert state.version() == 1
+    assert state.pointer("conn7.idhash") == "p0"
+
+    # snapshot every key shard's mtime, then commit ONE key repeatedly
+    keys_dir = os.path.join(state.root, "keys")
+    before = {f: os.path.getmtime(os.path.join(keys_dir, f))
+              for f in os.listdir(keys_dir)}
+    root_size_before = os.path.getsize(os.path.join(state.root, "_state.json"))
+    for i in range(5):
+        state.commit("conn0.idhash", f"run{i}", pointer=f"p{i+1}", seen=big_seen)
+    after = {f: os.path.getmtime(os.path.join(keys_dir, f))
+             for f in os.listdir(keys_dir)}
+    touched = {f for f in before if f in after and after[f] != before[f]}
+    assert not touched, "single-key commits rewrote other keys' shards"
+    # root holds only key->generation: its size is independent of the
+    # seen-hash payloads and of history length
+    root_size_after = os.path.getsize(os.path.join(state.root, "_state.json"))
+    assert abs(root_size_after - root_size_before) < 64
+    # every run is still visible in order; other keys' state intact
+    assert state.pointer("conn0.idhash") == "p5"
+    assert state.pointer("conn999.idhash") == "p0"
+    assert state.seen_hashes("conn999.idhash") == big_seen
+    assert len(state._load()["history"]) == 1000 + 5
+
+    # a fresh instance over the same root reads identical state
+    reread = RunState(str(tmp_path / "state"))
+    assert reread.pointer("conn0.idhash") == "p5"
+    assert reread.version() == state.version()
+
+
+def test_commit_preserves_prev_fields_and_conflicts(tmp_path):
+    state = RunState(str(tmp_path / "state"))
+    v0 = state.version()
+    state.commit("k", "r1", pointer="5", seen={"5": ["a"]}, expected_version=v0)
+    state.commit("k", "r2")  # pointer/seen default to previous
+    assert state.pointer("k") == "5"
+    assert state.seen_hashes("k") == {"5": ["a"]}
+    assert state.get("k")["previous_pointer"] == "5"
+    with pytest.raises(ConcurrentCommitError):
+        state.commit("k", "r3", expected_version=v0)
+
+
+def test_pending_paths_protect_inflight_writes(tmp_path):
+    """A data dir registered as pending must survive orphan GC even
+    though no manifest references it yet; after its commit the marker
+    clears and history protects it instead."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    inflight = out / "part-inflight"
+    inflight.mkdir(parents=True)
+    crashed = out / "part-crashed"
+    crashed.mkdir()
+    state.register_pending(str(inflight))
+    state.commit("k", "r0", pointer="1")  # some history so GC runs
+    res = state.expire_runs(delete_orphans_under=str(out))
+    assert str(crashed) in res["orphans_deleted"] and not crashed.exists()
+    assert inflight.exists(), "pending in-flight dir was GC'd"
+    # writer finishes: commit references the dir, marker is cleared
+    state.commit("k", "r1", data_paths=[str(inflight)])
+    assert not os.listdir(os.path.join(state.root, "pending"))
+    res2 = state.expire_runs(delete_orphans_under=str(out))
+    assert inflight.exists() and str(inflight) not in res2["orphans_deleted"]
+
+
+def test_orphan_grace_and_trailing_slash(tmp_path):
+    """Fresh dirs inside the grace window survive; a trailing slash on
+    the GC root must not make committed dirs look orphaned."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    committed = out / "part-live"
+    committed.mkdir(parents=True)
+    state.commit("k", "r0", data_paths=[str(out) + "/part-live"])
+    fresh = out / "part-fresh"
+    fresh.mkdir()
+    res = state.expire_runs(
+        delete_orphans_under=str(out) + "/", orphan_grace_s=3600
+    )
+    assert committed.exists(), "trailing slash orphaned a committed dir"
+    assert fresh.exists() and not res["orphans_deleted"]
+    res2 = state.expire_runs(delete_orphans_under=str(out) + "/")
+    assert str(fresh) in res2["orphans_deleted"] and not fresh.exists()
+    assert committed.exists()
+
+
+def test_legacy_single_document_migration(tmp_path):
+    """A round-2 single-file _state.json loads transparently: pointers,
+    seen state, history and version all survive the shard migration."""
+    root = tmp_path / "state"
+    root.mkdir()
+    legacy = {
+        "version": 7,
+        "entries": {
+            "a.k": {"pointer": "p1", "previous_pointer": "p0",
+                    "last_run": 123.0, "seen": {"p1": ["h1"]}, "run_id": "r9"},
+            "b.k": {"pointer": "9", "previous_pointer": None,
+                    "last_run": 124.0, "seen": {}, "run_id": "r9"},
+        },
+        "history": [
+            {"run_id": "r8", "key": "a.k", "pointer": "p0",
+             "metrics": {}, "data_paths": ["/data/part-r8"]},
+            {"run_id": "r9", "key": "a.k", "pointer": "p1",
+             "metrics": {"per_sink": {"logs": {"rows": 3}}},
+             "data_paths": []},
+        ],
+    }
+    (root / "_state.json").write_text(json.dumps(legacy))
+    state = RunState(str(root))
+    assert state.version() == 7
+    assert state.pointer("a.k") == "p1" and state.seen_hashes("a.k") == {"p1": ["h1"]}
+    assert state.pointer("b.k") == "9"
+    assert state.last_run("a.k") == 123.0
+    assert state.committed_paths() == ["/data/part-r8"]
+    assert state.is_committed("r9") and not state.is_committed("r7")
+    assert [h["run_id"] for h in state._load()["history"]] == ["r8", "r9"]
+    # and the migrated root commits normally
+    state.commit("a.k", "r10", pointer="p2", expected_version=7)
+    assert state.pointer("a.k") == "p2" and state.version() == 8
+
+
+def test_crashed_commit_generation_is_invisible(tmp_path):
+    """Key/run files written without a root publish (crash mid-commit)
+    must be ignored and safely overwritten by the next commit."""
+    state = RunState(str(tmp_path / "state"))
+    state.commit("k", "r1", pointer="1")
+    # simulate a crash AFTER the run/key writes, BEFORE the root replace:
+    # hand-write generation-2 files the root never references
+    import hashlib
+    kf = os.path.join(
+        state.root, "keys", hashlib.md5(b"k").hexdigest() + "-2.json"
+    )
+    with open(kf, "w") as f:
+        json.dump({"pointer": "GHOST", "seen": {}, "last_run": 0,
+                   "previous_pointer": None, "run_id": "ghost"}, f)
+    with open(os.path.join(state.root, "runs", f"{2:012d}.json"), "w") as f:
+        json.dump({"records": [{"run_id": "ghost", "key": "k", "pointer": "GHOST",
+                                "metrics": {}, "data_paths": []}]}, f)
+    assert state.pointer("k") == "1", "uncommitted generation leaked"
+    assert not state.is_committed("ghost")
+    # next commit takes version 2 cleanly, overwriting the ghost files
+    state.commit("k", "r2", pointer="2")
+    assert state.pointer("k") == "2" and not state.is_committed("ghost")
+    assert [h["run_id"] for h in state._load()["history"]] == ["r1", "r2"]
