@@ -82,6 +82,158 @@ def fake_decode(blob: bytes) -> np.ndarray:
     return ((x * 7 + y * 13 + dur) % 256).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Real fixed-layout codecs (pure numpy — no PIL/ffmpeg needed): BMP + WAV.
+# These plug into decode_and_featurize / wav_stats as real `decoder=`
+# implementations, replacing the GSMM stub for the two container formats
+# that are decodable from their spec alone.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale BMP
+    (BITMAPINFOHEADER + 256-entry gray palette, rows bottom-up, each row
+    padded to 4 bytes — the standard Windows 3.x layout)."""
+    h, w = img.shape
+    row_bytes = (w + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    data_offset = 14 + 40 + len(palette)
+    image_size = row_bytes * h
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + image_size, 0, 0, data_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, image_size, 2835, 2835, 256, 0
+    )
+    rows = bytearray()
+    pad = b"\x00" * (row_bytes - w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += img[y].tobytes() + pad
+    return header + info + palette + bytes(rows)
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP: 8-bit palette images return (h, w)
+    uint8 gray values (palette applied, gray palettes collapse to the
+    index), 24-bit images return (h, w, 3) uint8 RGB. Handles bottom-up
+    AND top-down (negative height) row order and 4-byte row padding."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        row_bytes = (w + 3) & ~3
+        raw = np.frombuffer(
+            blob, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)[:, :w]
+        img = raw if not top_down else raw.copy()
+        if not top_down:
+            img = img[::-1]
+        # apply the palette; a gray ramp palette collapses to the index
+        bgr = pal[img][..., :3]
+        if np.array_equal(bgr[..., 0], bgr[..., 1]) and np.array_equal(
+            bgr[..., 1], bgr[..., 2]
+        ):
+            return np.ascontiguousarray(bgr[..., 0])
+        return np.ascontiguousarray(bgr[..., ::-1])
+    if bpp == 24:
+        row_bytes = (w * 3 + 3) & ~3
+        raw = np.frombuffer(
+            blob, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            raw = raw[::-1]
+        return np.ascontiguousarray(raw[..., ::-1])  # BGR -> RGB
+    raise ValueError(f"unsupported BMP bpp {bpp}")
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode int16 samples ((n,) mono or (n, ch)) as a canonical RIFF
+    PCM WAV (fmt + data chunks)."""
+    s = np.asarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    payload = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """Decode a PCM16 RIFF WAV by walking its chunks: returns
+    ``(samples, rate)`` with samples int16, (n,) for mono or (n, ch)
+    otherwise. Rejects non-PCM / non-16-bit encodings loudly."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, ch, rate, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or ch is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2")
+    if ch > 1:
+        s = s.reshape(-1, ch)
+    return s, rate
+
+
+def wav_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Audio ingest stats as one mapInPandas kernel over the REAL WAV
+    decoder: per blob (n_samples, sample_rate, sum/min/max of samples) —
+    integer-exact so an arithmetic oracle can verify the decode."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_min", T.IntegerType()),
+            T.StructField("sample_max", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("n_samples", "sample_rate", "sample_sum", "sample_min", "sample_max")}
+            for blob in pdf[blob_col]:
+                s, rate = decode_wav(bytes(blob))
+                flat = s.reshape(-1).astype(np.int64)
+                cols["n_samples"].append(flat.size)
+                cols["sample_rate"].append(rate)
+                cols["sample_sum"].append(int(flat.sum()))
+                cols["sample_min"].append(int(flat.min()))
+                cols["sample_max"].append(int(flat.max()))
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def decode_and_featurize(
     df: DataFrame,
     blob_col: str = "blob",

@@ -1767,13 +1767,138 @@ FROM dirty
 
 SQL_PII_REDACT = _sql_pii_redact()
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened two-pass AS-OF join (asof_join_bucketed) over
+    the SAME fixture and oracle as asof_join: identical results, but the
+    carry-forward window partitions on (key, 6h-bucket) so a hot key
+    spreads across tasks instead of serializing one task's sort."""
+    from grove_spark.operators.temporal import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 40 AS INT), TIMESTAMP '2024-01-01')"
+        ).alias("od"),
+        "o_orderkey",
+    )
+    right = orders.groupBy("user_id", "od").agg(F.max("o_orderkey").alias("okey"))
+    out = asof_join_bucketed(
+        ev, right, on="user_id", left_time="ts", right_time="od", bucket_s=6 * 3600
+    )
+    return out.select(
+        "event_id", F.col("okey").cast("bigint").alias("okey")
+    )
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no stub: per doc an 8x8 grayscale BMP with pixel
+    (x,y) = (x*7 + y*13 + doc_id) % 256 is ENCODED to genuine BMP bytes
+    (palette, bottom-up rows, row padding) then DECODED back by the pure-
+    numpy decoder (operators/multimodal.decode_bmp) inside Arrow-batched
+    kernels; the oracle recomputes the integer pixel stats arithmetically
+    — any header/offset/row-order bug breaks the sums."""
+    import numpy as np
+    import pandas as pd
+
+    from grove_spark.operators.multimodal import decode_bmp, encode_bmp_gray8
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                y, x = np.mgrid[0:8, 0:8]
+                img = ((x * 7 + y * 13 + int(did)) % 256).astype(np.uint8)
+                blobs.append(encode_bmp_gray8(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "w": [], "h": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for blob in pdf["blob"]:
+                img = decode_bmp(bytes(blob)).astype(np.int64)
+                out["h"].append(img.shape[0]); out["w"].append(img.shape[1])
+                out["px_sum"].append(int(img.sum()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(enc, "doc_id long, blob binary")
+    return blobs.mapInPandas(
+        dec, "doc_id long, w int, h int, px_sum long, px_min int, px_max int"
+    )
+
+
+SQL_BMP_DECODE = """
+SELECT d.doc_id, 8 AS w, 8 AS h,
+       CAST((SELECT sum(((i % 8) * 7 + (i // 8) * 13 + d.doc_id) % 256)
+             FROM (SELECT unnest(generate_series(0, 63)) AS i) t) AS BIGINT) AS px_sum,
+       CAST((SELECT min(((i % 8) * 7 + (i // 8) * 13 + d.doc_id) % 256)
+             FROM (SELECT unnest(generate_series(0, 63)) AS i) t) AS INT) AS px_min,
+       CAST((SELECT max(((i % 8) * 7 + (i // 8) * 13 + d.doc_id) % 256)
+             FROM (SELECT unnest(generate_series(0, 63)) AS i) t) AS INT) AS px_max
+FROM documents d
+"""
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per doc a PCM16 RIFF WAV with samples
+    s_i = (doc_id*31 + i*17) % 65536 - 32768 (n = 64 + doc_id%16,
+    rate = 8000 + doc_id%4 * 4000) round-trips through the numpy
+    encoder + the chunk-walking decoder (operators/multimodal.wav_stats);
+    the oracle recomputes every integer stat from the formula."""
+    import numpy as np
+    import pandas as pd
+
+    from grove_spark.operators.multimodal import encode_wav_pcm16, wav_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 16
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                blobs.append(encode_wav_pcm16(s, rate=8000 + (did % 4) * 4000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(enc, "doc_id long, blob binary")
+    return wav_stats(blobs).drop("blob")
+
+
+SQL_WAV_DECODE = """
+SELECT d.doc_id,
+       CAST(64 + d.doc_id % 16 AS BIGINT) AS n_samples,
+       CAST(8000 + (d.doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST((SELECT sum((d.doc_id * 31 + i * 17) % 65536 - 32768)
+             FROM (SELECT unnest(generate_series(0, 63 + d.doc_id % 16)) AS i) t) AS BIGINT) AS sample_sum,
+       CAST((SELECT min((d.doc_id * 31 + i * 17) % 65536 - 32768)
+             FROM (SELECT unnest(generate_series(0, 63 + d.doc_id % 16)) AS i) t) AS INT) AS sample_min,
+       CAST((SELECT max((d.doc_id * 31 + i * 17) % 65536 - 32768)
+             FROM (SELECT unnest(generate_series(0, 63 + d.doc_id % 16)) AS i) t) AS INT) AS sample_max
+FROM documents d
+"""
+
+
 QUERIES.update({
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
+    "asof_bucketed": q_asof_bucketed,
+    "bmp_decode": q_bmp_decode,
+    "wav_decode": q_wav_decode,
 })
 ORACLE.update({
     "decontaminate": SQL_DECONTAMINATE,
     "pii_redact": SQL_PII_REDACT,
+    "asof_bucketed": SQL_ASOF_JOIN,
+    "bmp_decode": SQL_BMP_DECODE,
+    "wav_decode": SQL_WAV_DECODE,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker

@@ -120,3 +120,68 @@ def test_dedup_clusters_keeper_and_singletons(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True),  # untouched docs are their own keepers
     }
+
+
+def test_asof_bucketed_matches_plain_on_skewed_keys(spark):
+    """Property check: the two-pass bucketed as-of join equals the plain
+    window form on zipfian data — one hot key carrying 60% of rows,
+    matches that cross bucket boundaries, empty buckets, a key with no
+    right rows, and a tolerance cut."""
+    import random
+
+    from grove_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    rng = random.Random(7)
+    keys = ["hot"] * 6 + ["warm", "cold", "never"]
+    left = [
+        (f"e{i}", rng.choice(keys), dt.datetime(2024, 1, 1) + dt.timedelta(
+            seconds=rng.randrange(0, 86400 * 3)))
+        for i in range(400)
+    ]
+    right = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(
+            seconds=rng.randrange(0, 86400 * 3)), rng.randrange(1000))
+        for k in ("hot", "warm", "cold") for _ in range(30)
+    ]
+    ldf = spark.createDataFrame(left, "eid string, k string, t timestamp")
+    rdf = spark.createDataFrame(right, "k string, rt timestamp, v int")
+    # unique (key, time) on the right: drop dup instants deterministically
+    rdf = rdf.groupBy("k", "rt").agg(F.max("v").alias("v"))
+
+    for tol in (None, "4 hours"):
+        plain = {
+            r["eid"]: r["v"]
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="t", right_time="rt", tolerance=tol
+            ).collect()
+        }
+        bucketed = {
+            r["eid"]: r["v"]
+            for r in asof_join_bucketed(
+                ldf, rdf, on="k", left_time="t", right_time="rt",
+                tolerance=tol, bucket_s=3600,
+            ).collect()
+        }
+        assert bucketed == plain, f"tolerance={tol}"
+
+
+def test_asof_bucketed_window_partitions_on_bucket(spark):
+    """The pass-1 window must partition on (key, bucket) — that IS the
+    skew fix: a hot key's timeline spans many partitions, so more than
+    one task can sort it."""
+    from grove_spark.operators.temporal import asof_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [("e1", "k", dt.datetime(2024, 1, 1))], "eid string, k string, t timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1)], "k string, rt timestamp, v int"
+    )
+    out = asof_join_bucketed(ldf, rdf, on="k", left_time="t", right_time="rt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("__bkt" in s and "k#" in s for s in specs), (
+        "in-bucket carry window does not partition on (key, bucket)"
+    )
+    assert "BatchEvalPython" not in plan
