@@ -59,26 +59,34 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s, _ in _split_flagged(path, delimiter, quote)]
 
 
-_INDEX_RE = re.compile(r"^(?P<base>.*?)(?P<idx>(\[(?:\d+|\*)\])+)$")
+_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*)\]"
+_INDEX_RE = re.compile(rf"^(?P<base>.*?)(?P<idx>({_IDX_PART})+)$")
 
 
 def _split_indices(segment: str) -> Tuple[str, List]:
     """``"params[0][1]"`` -> ``("params", [0, 1])``; ``"events[*]"`` ->
-    ``("events", ["*"])``; no-index segments pass through unchanged."""
+    ``("events", ["*"])``; ``"events[1:3]"`` -> slices; no-index segments
+    pass through unchanged."""
     m = _INDEX_RE.match(segment)
     if not m or not m.group("idx"):
         return segment, []
-    idxs = [
-        i if i == "*" else int(i)
-        for i in re.findall(r"\[(\d+|\*)\]", m.group("idx"))
-    ]
+    idxs: List = []
+    for raw in re.findall(r"\[([^\]]*)\]", m.group("idx")):
+        if raw == "*":
+            idxs.append("*")
+        elif ":" in raw:
+            a, _, b = raw.partition(":")
+            idxs.append((int(a) if a else None, int(b) if b else None))
+        else:
+            idxs.append(int(raw))
     return m.group("base"), idxs
 
 
 def _tokens(path: str) -> List[Tuple[str, object]]:
     """Flatten a path into (kind, value) tokens:
-    ``a[0].b[*].c`` -> [(field,a),(index,0),(field,b),(wild,None),(field,c)].
-    Quoted segments are literal field names — no index parsing."""
+    ``a[0].b[*].c`` -> [(field,a),(index,0),(field,b),(wild,None),(field,c)];
+    ``a[1:3]`` -> [(field,a),(slice,(1,3))]. Quoted segments are literal
+    field names — no index parsing."""
     toks: List[Tuple[str, object]] = []
     for part, quoted in _split_flagged(path):
         if quoted:
@@ -87,21 +95,52 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
         base, idxs = _split_indices(part)
         toks.append(("field", base))
         for i in idxs:
-            toks.append(("wild", None) if i == "*" else ("index", i))
+            if i == "*":
+                toks.append(("wild", None))
+            elif isinstance(i, tuple):
+                toks.append(("slice", i))
+            else:
+                toks.append(("index", i))
     return toks
 
 
+def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
+    """JMESPath slice == Python slice semantics (negatives from the end,
+    out-of-range clamps) as pure Column arithmetic."""
+    n = F.size(col)
+
+    def norm(v, default):
+        if v is None:
+            return default
+        lit = F.lit(v)
+        return F.greatest(n + lit, F.lit(0)) if v < 0 else F.least(lit, n)
+
+    start = norm(a, F.lit(0))
+    stop = norm(b, n)
+    length = F.greatest(stop - start, F.lit(0))
+    return F.slice(col, start + F.lit(1), length)
+
+
 def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
-    """Apply tokens to ``col``. A wildcard maps the REMAINDER of the path
-    over every element (JMESPath projection ``a[*].b`` -> list of b)."""
+    """Apply tokens to ``col``. A wildcard or slice maps the REMAINDER of
+    the path over every element (JMESPath projection ``a[*].b``,
+    ``a[1:3].b`` -> list of b)."""
     for t, (kind, v) in enumerate(toks):
         if kind == "field":
             col = col.getField(v)
         elif kind == "index":
-            # F.get, not getItem: out-of-bounds yields NULL (JMESPath
-            # semantics) instead of ANSI INVALID_ARRAY_INDEX
-            col = F.get(col, v)
-        else:  # wildcard projection
+            if v >= 0:
+                # F.get, not getItem: out-of-bounds yields NULL (JMESPath
+                # semantics) instead of ANSI INVALID_ARRAY_INDEX
+                col = F.get(col, v)
+            else:
+                # negative index counts from the end; try_element_at
+                # yields NULL when it falls off (plain element_at throws
+                # INVALID_ARRAY_INDEX_IN_ELEMENT_AT in Spark 4)
+                col = F.try_element_at(col, F.lit(v))
+        else:  # wildcard / slice projection
+            if kind == "slice":
+                col = _slice_col(col, *v)
             rest = toks[t + 1:]
             return F.transform(col, lambda x: _compile_tokens(rest, x))
     return col
@@ -142,7 +181,7 @@ def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
                 if not isinstance(current, T.ArrayType):
                     return None
                 current = current.elementType
-            else:  # wildcard
+            else:  # wildcard / slice: both project the remainder per element
                 if not isinstance(current, T.ArrayType):
                     return None
                 inner = walk(current.elementType, i + 1)
@@ -153,7 +192,136 @@ def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
     return walk(schema, 0)
 
 
-# JMESPath-style comparison: ``path <op> literal`` (filter_entries.py:44
+# ---------------------------------------------------------------------------
+# JMESPath expressions beyond bare paths: function calls, multiselect-hash
+# ---------------------------------------------------------------------------
+
+_FUNC_RE = re.compile(r"^(?P<fn>[a-z_]+)\((?P<args>.*)\)$", re.S)
+
+
+def _split_top(s: str, sep: str = ",") -> List[str]:
+    """Split on ``sep`` at nesting depth 0 (outside quotes/brackets)."""
+    out, cur, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in "'\"`":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]
+
+
+def compile_expr(
+    schema: T.StructType, expr: str
+) -> Tuple[Column, T.DataType | None] | None:
+    """Compile the JMESPath expression subset the reference's shipped
+    configs draw on beyond bare paths (grove/processors/extract_paths.py:86
+    accepts any jmespath expression): paths (with indexes/[*]/slices),
+    ``length()`` / ``contains()`` / ``starts_with()`` / ``ends_with()``
+    function calls, raw string literals, backtick JSON literals, and
+    multiselect-hash ``{name: expr, ...}``. Returns (Column, DataType) or
+    None when the expression does not resolve against ``schema``
+    (jmespath.search would return None)."""
+    expr = expr.strip()
+    # multiselect-hash {a: expr, b: expr}
+    if expr.startswith("{") and expr.endswith("}"):
+        fields, ftypes = [], []
+        for part in _split_top(expr[1:-1]):
+            k, _, v = part.partition(":")
+            if not _:
+                return None
+            sub = compile_expr(schema, v)
+            if sub is None:
+                sub = (F.lit(None), None)
+            name = k.strip().strip("'\"")
+            fields.append(sub[0].alias(name))
+            ftypes.append(T.StructField(name, sub[1] or T.NullType()))
+        return F.struct(*fields), T.StructType(ftypes)
+    # raw string literal / backtick JSON literal
+    if len(expr) >= 2 and expr[0] == expr[-1] and expr[0] in ("'", '"'):
+        return F.lit(expr[1:-1]), T.StringType()
+    if len(expr) >= 2 and expr[0] == expr[-1] == "`":
+        import json as _json
+
+        try:
+            v = _json.loads(expr[1:-1])
+        except ValueError:
+            return None
+        lit = F.lit(v)
+        return lit, _literal_type(v)
+    m = _FUNC_RE.match(expr)
+    if m and "." not in m.group("fn"):
+        fn, args = m.group("fn"), _split_top(m.group("args"))
+        if fn == "length" and len(args) == 1:
+            sub = compile_expr(schema, args[0])
+            if sub is None:
+                return None
+            col, t = sub
+            if isinstance(t, T.StringType):
+                return F.length(col).cast("long"), T.LongType()
+            if isinstance(t, (T.ArrayType, T.MapType)):
+                # null-guard: non-ANSI Spark evaluates size(NULL) as -1;
+                # jmespath raises invalid-type on null — we yield null
+                # (lenient deviation, same family as truthy() nulls)
+                return (
+                    F.when(col.isNull(), F.lit(None))
+                    .otherwise(F.size(col))
+                    .cast("long"),
+                    T.LongType(),
+                )
+            raise ValueError(f"length() over {t} (invalid-type in jmespath)")
+        if fn in ("contains", "starts_with", "ends_with") and len(args) == 2:
+            s1, s2 = compile_expr(schema, args[0]), compile_expr(schema, args[1])
+            if s1 is None or s2 is None:
+                return None
+            (c1, t1), (c2, _) = s1, s2
+            if fn == "contains" and isinstance(t1, T.ArrayType):
+                return F.array_contains(c1, c2), T.BooleanType()
+            if isinstance(t1, T.StringType):
+                op = {"contains": c1.contains, "starts_with": c1.startswith,
+                      "ends_with": c1.endswith}[fn]
+                return op(c2), T.BooleanType()
+            raise ValueError(f"{fn}() over {t1} (invalid-type in jmespath)")
+        if fn in ("length", "contains", "starts_with", "ends_with"):
+            raise ValueError(f"{fn}() arity mismatch: {expr!r}")
+        # unknown function names fall through to path parsing (a field
+        # could legitimately be named e.g. "max(x)" only when quoted, so
+        # an unquoted unknown call is a config error)
+        raise ValueError(f"unknown jmespath function {fn!r} in {expr!r}")
+    rt = resolve_type(schema, expr)
+    if rt is None:
+        return None
+    return path_col(expr), rt
+
+
+def _literal_type(v) -> T.DataType | None:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    return None
+
+
+# JMESPath-style comparison: ``expr <op> literal`` (filter_entries.py:44
 # semantics — the reference evaluates these with jmespath.search per row;
 # here they compile once into a Catalyst predicate).
 _CMP_RE = re.compile(
@@ -180,8 +348,11 @@ def _parse_literal(raw: str):
 
 
 def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
-    """Compile ``path <op> literal`` to a boolean Column; None when the
-    string is not a comparison (callers fall back to path-truthiness).
+    """Compile ``expr <op> literal`` to a boolean Column; None when the
+    string is not a comparison (callers fall back to expr-truthiness).
+    The left side takes the full compile_expr surface (paths, slices,
+    ``length()``/``contains()``/...), so e.g. ``length(events) > 2``
+    ports verbatim from a reference config.
 
     An unresolvable path yields lit(False) — JMESPath's null comparand
     never satisfies a comparison. Spark's three-valued logic applies to
@@ -192,9 +363,10 @@ def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
         return None
     path = m.group("path").strip()
     value = _parse_literal(m.group("lit"))
-    if resolve_type(schema, path) is None:
+    sub = compile_expr(schema, path)
+    if sub is None:
         return F.lit(False)
-    col = path_col(path)
+    col = sub[0]
     op = m.group("op")
     if op == "==":
         return col == F.lit(value)

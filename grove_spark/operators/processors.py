@@ -83,11 +83,13 @@ def extract_paths(
             # sources whose path doesn't resolve in this schema compile
             # to null literals (JMESPath search returns None) — they stay
             # IN the chain so the last-source fallthrough matches the
-            # reference when every source is falsy
+            # reference when every source is falsy. compile_expr gives
+            # sources the full expression surface (slices, length(),
+            # contains(), multiselect-hash), not just bare paths.
+            from grove_spark.functions.paths import compile_expr
+
             resolved = [
-                (path_col(s), rt)
-                if (rt := resolve_type(schema, s)) is not None
-                else (F.lit(None), None)
+                compile_expr(schema, s) or (F.lit(None), None)
                 for s in m.sources
             ]
             values[m.destination] = first_truthy(resolved)
@@ -105,7 +107,7 @@ def filter_entries(df: DataFrame, filters: Sequence[str]) -> DataFrame:
     * an arbitrary SQL boolean expression prefixed ``sql:`` — the
       typed-world escape hatch.
     """
-    from grove_spark.functions.paths import compile_predicate, truthy
+    from grove_spark.functions.paths import compile_expr, compile_predicate, truthy
 
     drop = F.lit(False)
     for f in filters:
@@ -114,7 +116,9 @@ def filter_entries(df: DataFrame, filters: Sequence[str]) -> DataFrame:
         else:
             cond = compile_predicate(df.schema, f)
             if cond is None:
-                cond = truthy(path_col(f), resolve_type(df.schema, f))
+                # bare expression: truthiness (covers contains(tags,'x'))
+                sub = compile_expr(df.schema, f)
+                cond = truthy(*sub) if sub is not None else F.lit(False)
         drop = drop | F.coalesce(cond, F.lit(False))
     return df.filter(~drop)
 

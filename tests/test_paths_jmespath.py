@@ -119,3 +119,130 @@ def test_file_secrets_provider(tmp_path):
     })
     hydrate_secrets([cfg], provider)
     assert cfg.key == "tok-9"
+
+
+# ---------------------------------------------------------------------------
+# round 3: slices, negative indexes, functions, multiselect-hash — checked
+# AGAINST THE PUBLIC jmespath LIBRARY as oracle (the engine the reference
+# calls per row).
+# ---------------------------------------------------------------------------
+
+jmespath = pytest.importorskip("jmespath")
+
+DICT_ROWS = [
+    {"id": 1, "outcome": {"result": "FAILURE", "score": 0.9},
+     "events": [{"name": "login", "tags": ["a", "b"]},
+                {"name": "logout", "tags": ["c"]}]},
+    {"id": 2, "outcome": {"result": "SUCCESS", "score": 0.2},
+     "events": [{"name": "read", "tags": []}]},
+    {"id": 3, "outcome": None, "events": None},
+]
+
+EXPRS = [
+    "events[0:1].name",
+    "events[0:2].name",
+    "events[1:].name",
+    "events[:1].name",
+    "events[-1:].name",
+    "events[:-1].name",
+    "events[-2:-1].name",
+    "events[5:9].name",
+    "events[-1].name",
+    "events[-5].name",
+    "length(events)",
+    "length(outcome.result)",
+    "length(events[0].tags)",
+    "contains(events[0].tags, 'a')",
+    "starts_with(outcome.result, 'FAIL')",
+    "ends_with(outcome.result, 'ESS')",
+    "{res: outcome.result, n: length(events)}",
+]
+
+
+def _jp(expr, row):
+    """jmespath oracle; its invalid-type errors (functions over null)
+    map to our documented lenient-null deviation."""
+    try:
+        return jmespath.search(expr, row)
+    except jmespath.exceptions.JMESPathTypeError:
+        return None
+
+
+def _plain(v):
+    if hasattr(v, "asDict"):
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v
+
+
+def test_expression_surface_matches_jmespath_library(df):
+    from grove_spark.functions.paths import compile_expr
+
+    cols = []
+    for i, e in enumerate(EXPRS):
+        sub = compile_expr(SCHEMA, e)
+        assert sub is not None, e
+        cols.append(sub[0].alias(f"e{i}"))
+    got = df.select(F.col("id"), *cols).collect()
+    for r in got:
+        want_row = next(d for d in DICT_ROWS if d["id"] == r["id"])
+        for i, e in enumerate(EXPRS):
+            want = _jp(e, want_row)
+            have = _plain(r[f"e{i}"])
+            if want is None and isinstance(have, dict):
+                # documented lenient deviation: jmespath aborts a whole
+                # multiselect when a member function hits null; the
+                # typed compilation yields a struct of nulls instead
+                assert all(v is None for v in have.values()), e
+                continue
+            assert have == want, f"{e} on id={r['id']}: spark={have} jmespath={want}"
+
+
+def test_randomized_slices_match_jmespath(df):
+    """Every (a, b) slice pair in a window around the array bounds, with
+    and without a projected remainder — exact parity with the library."""
+    from grove_spark.functions.paths import compile_expr
+
+    cases = []
+    for a in [None, -4, -2, -1, 0, 1, 2, 4]:
+        for b in [None, -4, -2, -1, 0, 1, 2, 4]:
+            sa = "" if a is None else str(a)
+            sb = "" if b is None else str(b)
+            cases.append(f"events[{sa}:{sb}].name")
+            cases.append(f"events[0].tags[{sa}:{sb}]")
+    cols = [compile_expr(SCHEMA, e)[0].alias(f"c{i}") for i, e in enumerate(cases)]
+    got = df.select(F.col("id"), *cols).collect()
+    for r in got:
+        want_row = next(d for d in DICT_ROWS if d["id"] == r["id"])
+        for i, e in enumerate(cases):
+            assert _plain(r[f"c{i}"]) == _jp(e, want_row), f"{e} id={r['id']}"
+
+
+def test_function_predicates_in_filter_entries(df):
+    out = filter_entries(df, ["length(events) >= 2"])
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+    out2 = filter_entries(df, ["contains(events[0].tags, 'a')"])
+    assert sorted(r["id"] for r in out2.collect()) == [2, 3]
+
+
+def test_multiselect_hash_source_in_extract_paths(df):
+    out = extract_paths(
+        df,
+        [{"destination": "summary",
+          "sources": ["{res: outcome.result, n: length(events)}"]}],
+    ).collect()
+    vals = sorted(
+        [(r["summary"]["res"], r["summary"]["n"]) for r in out],
+        key=lambda t: (t[0] is None, t),
+    )
+    assert vals == [("FAILURE", 2), ("SUCCESS", 1), (None, None)]
+
+
+def test_unknown_function_is_loud():
+    from grove_spark.functions.paths import compile_expr
+
+    with pytest.raises(ValueError, match="unknown jmespath function"):
+        compile_expr(SCHEMA, "bogus(events)")
+    with pytest.raises(ValueError, match="arity"):
+        compile_expr(SCHEMA, "length(events, id)")
