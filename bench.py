@@ -143,6 +143,79 @@ def host_calibration() -> float:
     return round((thr(32) / thr(8)) / 4.0, 3)
 
 
+def docs_fixture(tag: str, n_docs: int) -> str:
+    """Synthetic documents corpus for the dedup legs: 50-word docs over a
+    2k vocab, every 20th doc a near-copy of its predecessor (one word
+    mutated -> exact-Jaccard ~0.88 over 3-shingles, well above the 0.7
+    threshold and squarely inside the 16x4 LSH banding curve)."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(CACHE_ROOT, tag)
+    marker = os.path.join(path, "_COMPLETE_v1")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(11)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    chunk = 50_000
+    for start in range(0, n_docs, chunk):
+        n = min(chunk, n_docs - start)
+        mat = vocab[rng.randint(0, len(vocab), (n, 50))]
+        texts = [" ".join(r) for r in mat]
+        for i in range(n):
+            if (start + i) % 20 == 19 and i > 0:
+                w = texts[i - 1].split()
+                w[3] = "mutated"
+                texts[i] = " ".join(w)
+        pd.DataFrame(
+            {"doc_id": np.arange(start, start + n, dtype=np.int64), "text": texts}
+        ).to_parquet(os.path.join(path, f"part-{start:08d}.parquet"), index=False)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def dedup_run(spark, docs_path: str) -> dict:
+    """The dedup throughput curve the routing pipeline legs don't show:
+    full MinHash->LSH->verify pair detection, then connected-components
+    clustering to keepers — both COMPUTE plans (counts, no sink)."""
+    from grove_spark.operators.dedup_cluster import dedup_clusters
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    # spread the corpus over the cores up front (the cached fixture is a
+    # handful of 50k-row files; one 60 MB text shuffle vs single-task
+    # signature stages) and pin it so both trials read warm rows
+    docs = (
+        spark.read.parquet(docs_path)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    n_docs = docs.count()
+    # warm pass on a slice: JVM + page-fault warmup without paying a
+    # full extra trial
+    minhash_dedup_pairs(docs.limit(20_000), threshold=0.7).count()
+    walls, n_pairs = [], 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(docs, threshold=0.7)
+        n_pairs = pairs.count()
+        walls.append(time.perf_counter() - t0)
+    minhash_wall = min(walls)
+    t0 = time.perf_counter()
+    n_keepers = dedup_clusters(pairs, docs).where("is_keeper").count()
+    cluster_wall = time.perf_counter() - t0
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "pairs_found": n_pairs,
+        "keepers": n_keepers,
+        "minhash_pairs_wall_s": round(minhash_wall, 3),
+        "minhash_docs_per_sec": round(n_docs / minhash_wall, 1),
+        "cluster_wall_s": round(cluster_wall, 3),
+    }
+
+
 def e2e_run(spark, paths, n_partitions: int) -> tuple[float, int]:
     """Pipeline incl. salted repartition + partitioned per-sink parquet
     write (dictionary encoding off: token values are near-uniform ints,
@@ -175,6 +248,7 @@ def main() -> None:
     sf = infer_sf(SF_DIR)
     scaling_paths = fixture(f"scaling-sf{sf}", int(SCALING_ROWS_PER_SF * sf))
     e2e_paths = fixture(f"e2e-sf{sf}", int(E2E_ROWS_PER_SF * sf))
+    dedup_docs = docs_fixture(f"dedupdocs-sf{sf}", max(int(1_500_000 * sf), 10_000))
 
     levels = sorted({2, 8, CPUS})
     results = {}
@@ -200,6 +274,8 @@ def main() -> None:
     e2e_wall, e2e_rows = e2e_run(spark, e2e_paths, n_partitions=CPUS)
     w2, _ = e2e_run(spark, e2e_paths, n_partitions=CPUS)
     e2e_wall = min(e2e_wall, w2)
+
+    dedup_stats = dedup_run(spark, dedup_docs)
 
     import __spark_entry__ as entrymod
 
@@ -235,6 +311,7 @@ def main() -> None:
                     "wall_s": round(e2e_wall, 3),
                     "seqs_per_sec": round(e2e_rows / e2e_wall, 1),
                 },
+                "dedup": dedup_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
                     f"efficiency_8_to_{CPUS}": eff_8_c,

@@ -90,6 +90,55 @@ def ngram_jaccard_pairs(
     return out.select("a", "b", "common", F.col("n_a").cast("bigint").alias("n_a"), F.col("n_b").cast("bigint").alias("n_b"))
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document CONTAINMENT pairs: directional near-dup detection
+    for the case symmetric Jaccard misses — a short document whose text
+    is (almost) entirely contained in a much longer one (quoted excerpts,
+    prepended boilerplate, doc-inside-doc duplication).
+
+    containment(contained→container) = |A ∩ B| / |A|, computed over word
+    n-gram shingle sets. Returns (contained, container, common,
+    n_contained, containment) with containment >= threshold, BOTH
+    directions considered (a row per direction that clears the bar).
+    Same inverted-index self-join shape as ngram_jaccard_pairs, same
+    ``max_df`` boilerplate-cap discipline. A doc pair that is mutually
+    contained (near-identical) yields two rows — callers canonicalize.
+    """
+    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.where(F.col("__df") <= max_df), "shingle").drop("__df")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("l"), sh.alias("r")
+    common = (
+        a.join(b, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") != F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("contained"), F.col("r.doc").alias("container"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc", "contained").withColumnRenamed("n_sh", "n_contained"),
+            "contained",
+        )
+        .withColumn("containment", F.col("common").cast("double") / F.col("n_contained"))
+        .where(F.col("containment") >= F.lit(threshold))
+    )
+    return out.select(
+        "contained", "container", "common",
+        F.col("n_contained").cast("bigint").alias("n_contained"),
+        "containment",
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,

@@ -1886,12 +1886,43 @@ FROM documents d
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs (|A∩B|/|A| over 3-gram
+    shingle sets): catches a doc whose text sits inside a longer one —
+    the asymmetric case Jaccard misses."""
+    from grove_spark.operators.dedup_fuzzy import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.5, n=3)
+
+
+SQL_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+    range(greatest(len(string_split(text,' '))-2, 0)),
+    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS shingle
+  FROM documents
+), sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT l.doc AS contained, r.doc AS container, CAST(count(*) AS BIGINT) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc <> r.doc
+  GROUP BY 1, 2
+)
+SELECT contained, container, common,
+       CAST(s.n_sh AS BIGINT) AS n_contained,
+       CAST(common AS DOUBLE) / s.n_sh AS containment
+FROM pairs JOIN sizes s ON contained = s.doc
+WHERE CAST(common AS DOUBLE) / s.n_sh >= 0.5
+"""
+
+
 QUERIES.update({
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
     "asof_bucketed": q_asof_bucketed,
     "bmp_decode": q_bmp_decode,
     "wav_decode": q_wav_decode,
+    "containment": q_containment,
 })
 ORACLE.update({
     "decontaminate": SQL_DECONTAMINATE,
@@ -1899,6 +1930,7 @@ ORACLE.update({
     "asof_bucketed": SQL_ASOF_JOIN,
     "bmp_decode": SQL_BMP_DECODE,
     "wav_decode": SQL_WAV_DECODE,
+    "containment": SQL_CONTAINMENT,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker

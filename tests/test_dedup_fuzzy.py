@@ -137,3 +137,30 @@ def test_embedding_near_pairs(spark):
     )
     pairs = embedding_near_pairs(df, threshold=0.95, n_planes=4).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_containment_pairs_directional(spark):
+    """A short doc fully contained in a longer one must be flagged in the
+    contained->container direction even when symmetric Jaccard is far
+    below threshold; unrelated docs never pair."""
+    from grove_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = ("intro words here then " + short +
+             " and a very long tail of unrelated filler " +
+             " ".join(f"filler{i}" for i in range(40)))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different text with nothing shared here at all")],
+        "doc_id int, text string",
+    )
+    pairs = ngram_containment_pairs(docs, threshold=0.9)
+    got = {(r["contained"], r["container"]): r["containment"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (2, 1) not in got, "containment is directional"
+    assert all(3 not in k for k in got)
+    # and Jaccard at the same bar misses it (that's the point)
+    j = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert not [r for r in j if {r["a"], r["b"]} == {1, 2}]

@@ -164,7 +164,10 @@ def test_every_gate_query_is_python_free(spark):
     from grove_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    allowed_arrow = {"ann_ivf"}  # batched numpy matmul kernel, by design
+    # batched numpy kernels, by design: ann_ivf's matmul and the real
+    # media codecs (encode/decode is inherently per-blob Python — Arrow
+    # batched, never row-at-a-time)
+    allowed_arrow = {"ann_ivf", "bmp_decode", "wav_decode"}
     for name, fn in QUERIES.items():
         if name == "stream_tumbling":
             continue  # executes a streaming query; covered by its own test
