@@ -347,6 +347,56 @@ def assemble_fleet(
     return out
 
 
+def run_daemon(
+    spark: SparkSession,
+    config_path: str,
+    sequences_path: str,
+    state: RunState,
+    out_path: Optional[str] = None,
+    refresh_s: float = 300.0,
+    tick_s: float = 0.25,
+    max_ticks: Optional[int] = None,
+    now_fn: Callable[[], float] = time.time,
+    sleep_fn: Callable[[float], None] = time.sleep,
+    pointer_cols: Optional[Dict[str, str]] = None,
+) -> List[dict]:
+    """The ``groved`` daemon loop (grove/entrypoints/local_daemon.py:49-197):
+    an endless scheduler that re-reads the config tree every ``refresh_s``
+    (GROVE_CONFIG_REFRESH, constants.py:60) and runs the due connectors
+    each ``tick_s`` (the 0.25 s scheduler tick, local_daemon.py:197).
+    Where the reference harvests a thread-pool's futures, each tick here
+    is ONE fleet plan + ONE atomic state commit.
+
+    ``max_ticks`` bounds the loop (None = run forever); ``now_fn``/
+    ``sleep_fn`` are injectable for tests and for external schedulers.
+    A ConcurrentCommitError from a racing committer skips the tick —
+    the work is retried on the next one (the reference's lock-conflict
+    outcome, connectors/__init__.py:1067-1173). Returns per-tick reports.
+    """
+    from grove_spark.state.runstate import ConcurrentCommitError
+
+    configs = load_configs(config_path)
+    last_refresh = now_fn()
+    reports: List[dict] = []
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        now = now_fn()
+        if now - last_refresh >= refresh_s:
+            configs = load_configs(config_path)
+            last_refresh = now
+        try:
+            r = run_fleet(
+                spark, configs, sequences_path, state,
+                out_path=out_path, now=now, pointer_cols=pointer_cols,
+            )
+        except ConcurrentCommitError:
+            r = {"due": 0, "skipped": "concurrent commit; retried next tick"}
+        reports.append(r)
+        ticks += 1
+        sleep_fn(tick_s)
+    return reports
+
+
 def run_fleet(
     spark: SparkSession,
     configs: List[ConnectorConfig],

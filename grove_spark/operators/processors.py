@@ -241,6 +241,27 @@ _PROCESSORS = {
 }
 
 
+def _redact_processor(df: DataFrame, cfg: Dict[str, Any]) -> DataFrame:
+    """PII redaction as a config-chain processor: ``{"processor":
+    "redact", "source": "text", "rules": [[name, pattern, mask], ...],
+    "destination": "clean"}`` — rules default to operators/redact
+    DEFAULT_RULES; counters live on the operator API, not the chain."""
+    from grove_spark.operators.redact import redact
+
+    rules = [tuple(r) for r in cfg.get("rules", [])] or None
+    out, _ = redact(
+        df,
+        cfg.get("source", "text"),
+        rules=rules,
+        out_col=cfg.get("destination"),
+        with_counts=False,
+    )
+    return out
+
+
+_PROCESSORS["redact"] = _redact_processor
+
+
 def register_processor(name: str, fn) -> None:
     """Extension point — the Spark analog of Grove's setuptools
     entry-point processor plugins (grove/helpers/plugin.py:12-50)."""

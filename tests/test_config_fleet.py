@@ -134,3 +134,73 @@ def test_optimistic_commit_conflict(tmp_path):
     # retry with the fresh version succeeds (the reference's retry path)
     state.commit("k", "run-b", pointer="2", expected_version=state.version())
     assert state.pointer("k") == "2"
+
+
+def test_run_daemon_refresh_and_schedule(spark, tmp_path):
+    """The groved-loop analog: a fake clock drives three ticks; the
+    config tree is refreshed mid-loop and the newly-dropped config runs
+    on the next tick; frequency keeps already-run connectors idle."""
+    import datetime as dt
+
+    from grove_spark.config import run_daemon
+    from grove_spark.state.runstate import RunState
+
+    rows = [
+        ("d1", [1], 1, "okta", dt.datetime(2024, 1, 1, 10)),
+        ("d2", [2], 1, "slack", dt.datetime(2024, 1, 1, 11)),
+    ]
+    seq_path = str(tmp_path / "seq")
+    spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, event_time timestamp",
+    ).write.parquet(seq_path)
+    cfg_dir = tmp_path / "cfgs"
+    cfg_dir.mkdir()
+    (cfg_dir / "okta.json").write_text(json.dumps(
+        {"connector": "okta_system_log", "identity": "a", "frequency": 600}
+    ))
+
+    clock = {"t": 1000.0}
+    slept = []
+
+    def now_fn():
+        return clock["t"]
+
+    def sleep_fn(s):
+        slept.append(s)
+        clock["t"] += 200.0  # 200 s pass per tick
+        if len(slept) == 1:
+            # new connector lands between tick 1 and 2; refresh_s=300
+            # means tick 2 (t=1200, 200s since refresh) does NOT see it
+            # yet, tick 3 (t=1400, 400s) does
+            (cfg_dir / "slack.json").write_text(json.dumps(
+                {"connector": "slack_audit", "identity": "b", "source": "slack",
+                 "frequency": 600}
+            ))
+
+    state = RunState(str(tmp_path / "state"))
+    reports = run_daemon(
+        spark, str(cfg_dir), seq_path, state,
+        refresh_s=300.0, tick_s=0.25, max_ticks=3,
+        now_fn=now_fn, sleep_fn=sleep_fn,
+    )
+    assert len(reports) == 3 and slept == [0.25] * 3
+    # tick1: okta runs; tick2: okta not due yet (200s < 600s), slack not
+    # visible yet; tick3: refresh picked slack up, it runs
+    assert reports[0]["due"] == 1 and "okta_system_log" in reports[0]["per_connector"]
+    assert reports[1]["due"] == 0
+    assert reports[2]["due"] == 1 and "slack_audit" in reports[2]["per_connector"]
+
+
+def test_redact_chain_processor(spark):
+    """redact plugs into the Grove-style processor chain."""
+    from grove_spark.operators.processors import apply_chain
+
+    df = spark.createDataFrame(
+        [("a@b.io call 555-123-4567",)], "text string"
+    )
+    out = apply_chain(df, [
+        {"processor": "redact", "source": "text", "destination": "clean"},
+    ]).first()
+    assert out["clean"] == "<EMAIL> call <PHONE>"
+    assert out["text"] == "a@b.io call 555-123-4567"
