@@ -267,6 +267,22 @@ def main() -> None:
     eff_8_c = round((thr[CPUS] / thr[8]) / (CPUS / 8), 3) if CPUS != 8 else None
     host_eff = host_calibration()
 
+    # secondary 8->C pair on a 5x fixture: per-job fixed overheads
+    # (stage scheduling, source open) dominate the small fixture's
+    # ~2.7 s wall at 32 cores and understate high-core efficiency; the
+    # larger job measures the plan. Only at the judged sf (cost ~2 min).
+    eff_8_c_large = None
+    thr_large = {}
+    if CPUS != 8 and sf >= 0.1:
+        headroom = fixture("headroom-10m", 10_000_000)
+        for cpus in (8, CPUS):
+            spark = build_session(cpus)
+            wall, rows = best_of(spark, headroom, n_partitions=cpus,
+                                 trials=2, warmups=1)
+            thr_large[cpus] = rows / wall
+            spark.stop()
+        eff_8_c_large = round((thr_large[CPUS] / thr_large[8]) / (CPUS / 8), 3)
+
     spark = build_session(CPUS)
     compute_run(spark, e2e_paths, CPUS)  # warm the fresh JVM
     # single-disk write leg is the noisiest number on this box (observed
@@ -315,6 +331,10 @@ def main() -> None:
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
                     f"efficiency_8_to_{CPUS}": eff_8_c,
+                    f"efficiency_8_to_{CPUS}_10m_rows": eff_8_c_large,
+                    "seqs_per_sec_10m_rows": {
+                        str(c): round(t, 1) for c, t in thr_large.items()
+                    },
                     "host_cpu_ceiling_8_to_32": host_eff,
                     "note": (
                         "N->4N proxy on one box; primary pair 2->8 cores is clean of "

@@ -166,6 +166,54 @@ def file_secrets_provider(store_path: str) -> Callable[[str], str]:
     return provider
 
 
+def scheme_secrets_provider(
+    extra: Optional[Dict[str, Callable[[str], str]]] = None,
+) -> Callable[[str], str]:
+    """Scheme-dispatched secrets resolution — the pluggable-backend
+    analog of the reference's secrets plugins (grove/secrets/aws_ssm.py,
+    hashicorp_vault.py register via entry points; grove/secrets/
+    __init__.py:28-85 routes each config's secret refs to its backend):
+
+    * ``env:NAME``           — environment variable;
+    * ``file:/path``         — file contents, stripped;
+    * ``json:/store.json#a/b`` — JSON document walk (the SSM parameter-
+      hierarchy stand-in, see file_secrets_provider);
+    * anything without a scheme falls back to ``env`` (back-compat with
+      env_secrets_provider paths).
+
+    ``extra`` registers additional backends by scheme — e.g.
+    ``{"vault": my_vault_reader}`` — without touching this module."""
+    backends: Dict[str, Callable[[str], str]] = {}
+
+    def _env(ref: str) -> str:
+        return os.environ.get(ref, "")
+
+    def _file(ref: str) -> str:
+        try:
+            with open(ref) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def _json_store(ref: str) -> str:
+        store_path, _, frag = ref.partition("#")
+        try:
+            return file_secrets_provider(store_path)(frag)
+        except (OSError, json.JSONDecodeError):
+            return ""
+
+    backends.update({"env": _env, "file": _file, "json": _json_store})
+    backends.update(extra or {})
+
+    def provider(path: str) -> str:
+        scheme, sep, ref = path.partition(":")
+        if not sep or scheme not in backends:
+            return _env(path)
+        return backends[scheme](ref)
+
+    return provider
+
+
 def sinks_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]) -> DataFrame:
     """Routing dim keyed by the FULL config identity (connector,
     identity, operation): two identities of the same connector each

@@ -30,21 +30,33 @@ def _split_flagged(path: str, delimiter: str = ".", quote: str = "'") -> List[Tu
     segment (quoted segments are LITERAL field names — the quoting
     grammar exists to escape special characters, so index parsing must
     never apply inside them, e.g. the registry's ``'@timestamp'`` or a
-    field literally named ``b[0]``)."""
+    field literally named ``b[0]``). Dots inside brackets never split —
+    filter expressions like ``a[?b.c == 'x'].d`` carry paths and string
+    literals of their own; quotes at bracket depth > 0 are kept verbatim
+    (they quote a filter literal, not a field name)."""
     segments: List[Tuple[str, bool]] = []
     current: List[str] = []
     in_quote = False
     quoted = False
+    depth = 0
     for ch in path:
         if ch == quote:
             in_quote = not in_quote
-            quoted = True
+            if depth == 0:
+                quoted = True
+                continue
+            current.append(ch)
             continue
-        if ch == delimiter and not in_quote:
-            segments.append(("".join(current), quoted))
-            current = []
-            quoted = False
-            continue
+        if not in_quote:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth = max(depth - 1, 0)
+            if ch == delimiter and depth == 0:
+                segments.append(("".join(current), quoted))
+                current = []
+                quoted = False
+                continue
         current.append(ch)
     segments.append(("".join(current), quoted))
     return [(s, q) for s, q in segments if s != ""]
@@ -59,13 +71,14 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s, _ in _split_flagged(path, delimiter, quote)]
 
 
-_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*)\]"
+_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*|\?[^\]]*)\]"
 _INDEX_RE = re.compile(rf"^(?P<base>.*?)(?P<idx>({_IDX_PART})+)$")
 
 
 def _split_indices(segment: str) -> Tuple[str, List]:
     """``"params[0][1]"`` -> ``("params", [0, 1])``; ``"events[*]"`` ->
-    ``("events", ["*"])``; ``"events[1:3]"`` -> slices; no-index segments
+    ``("events", ["*"])``; ``"events[1:3]"`` -> slices;
+    ``"events[?name == 'x']"`` -> filter expressions; no-index segments
     pass through unchanged."""
     m = _INDEX_RE.match(segment)
     if not m or not m.group("idx"):
@@ -74,6 +87,8 @@ def _split_indices(segment: str) -> Tuple[str, List]:
     for raw in re.findall(r"\[([^\]]*)\]", m.group("idx")):
         if raw == "*":
             idxs.append("*")
+        elif raw.startswith("?"):
+            idxs.append(("?", raw[1:].strip()))
         elif ":" in raw:
             a, _, b = raw.partition(":")
             idxs.append((int(a) if a else None, int(b) if b else None))
@@ -97,11 +112,27 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
         for i in idxs:
             if i == "*":
                 toks.append(("wild", None))
+            elif isinstance(i, tuple) and i[0] == "?":
+                toks.append(("filt", i[1]))
             elif isinstance(i, tuple):
                 toks.append(("slice", i))
             else:
                 toks.append(("index", i))
     return toks
+
+
+def _apply_cmp(col: Column, op: str, value) -> Column:
+    if op == "==":
+        return col == F.lit(value)
+    if op == "!=":
+        return col != F.lit(value)
+    if op == ">=":
+        return col >= F.lit(value)
+    if op == "<=":
+        return col <= F.lit(value)
+    if op == ">":
+        return col > F.lit(value)
+    return col < F.lit(value)
 
 
 def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
@@ -122,9 +153,9 @@ def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
 
 
 def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
-    """Apply tokens to ``col``. A wildcard or slice maps the REMAINDER of
-    the path over every element (JMESPath projection ``a[*].b``,
-    ``a[1:3].b`` -> list of b)."""
+    """Apply tokens to ``col``. A wildcard, slice or filter maps the
+    REMAINDER of the path over every element (JMESPath projection
+    ``a[*].b``, ``a[1:3].b``, ``a[?x == 'y'].b`` -> list of b)."""
     for t, (kind, v) in enumerate(toks):
         if kind == "field":
             col = col.getField(v)
@@ -138,12 +169,33 @@ def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
                 # yields NULL when it falls off (plain element_at throws
                 # INVALID_ARRAY_INDEX_IN_ELEMENT_AT in Spark 4)
                 col = F.try_element_at(col, F.lit(v))
-        else:  # wildcard / slice projection
+        else:  # wildcard / slice / filter projection
             if kind == "slice":
                 col = _slice_col(col, *v)
+            elif kind == "filt":
+                col = _filter_col(col, v)
             rest = toks[t + 1:]
             return F.transform(col, lambda x: _compile_tokens(rest, x))
     return col
+
+
+def _filter_col(col: Column, expr_str: str) -> Column:
+    """JMESPath filter projection ``[?path <op> literal]`` as F.filter.
+
+    A comparison over a null element value is null -> element dropped,
+    matching jmespath (null comparand is not truthy). Bare-path /
+    function filter expressions need element type information Catalyst
+    lambdas don't carry — unsupported, loudly."""
+    m = _CMP_RE.match(expr_str.strip())
+    if not m:
+        raise ValueError(
+            f"unsupported filter expression [?{expr_str}]: only "
+            "'path <op> literal' comparisons compile"
+        )
+    inner = _tokens(m.group("path").strip())
+    value = _parse_literal(m.group("lit"))
+    op = m.group("op")
+    return F.filter(col, lambda x: _apply_cmp(_compile_tokens(inner, x), op, value))
 
 
 def path_col(path: str) -> Column:
@@ -331,7 +383,15 @@ _CMP_RE = re.compile(
 
 def _parse_literal(raw: str):
     raw = raw.strip()
-    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in ("'", '"', "`"):
+    if len(raw) >= 2 and raw[0] == raw[-1] == "`":
+        # backtick = JSON literal in JMESPath (`1` is the NUMBER one)
+        import json as _json
+
+        try:
+            return _json.loads(raw[1:-1])
+        except ValueError:
+            return raw[1:-1]
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in ("'", '"'):
         return raw[1:-1]
     low = raw.lower()
     if low in ("true", "false"):
@@ -366,19 +426,7 @@ def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
     sub = compile_expr(schema, path)
     if sub is None:
         return F.lit(False)
-    col = sub[0]
-    op = m.group("op")
-    if op == "==":
-        return col == F.lit(value)
-    if op == "!=":
-        return col != F.lit(value)
-    if op == ">=":
-        return col >= F.lit(value)
-    if op == "<=":
-        return col <= F.lit(value)
-    if op == ">":
-        return col > F.lit(value)
-    return col < F.lit(value)
+    return _apply_cmp(sub[0], m.group("op"), value)
 
 
 def truthy(col: Column, dtype: T.DataType | None) -> Column:

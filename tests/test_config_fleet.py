@@ -204,3 +204,20 @@ def test_redact_chain_processor(spark):
     ]).first()
     assert out["clean"] == "<EMAIL> call <PHONE>"
     assert out["text"] == "a@b.io call 555-123-4567"
+
+
+def test_scheme_secrets_provider(tmp_path):
+    from grove_spark.config import scheme_secrets_provider
+
+    os.environ["GROVE_T1"] = "env-secret"
+    f = tmp_path / "raw.txt"
+    f.write_text("file-secret\n")
+    store = tmp_path / "store.json"
+    store.write_text(json.dumps({"grove": {"token": "json-secret"}}))
+    p = scheme_secrets_provider(extra={"static": lambda ref: f"S:{ref}"})
+    assert p("env:GROVE_T1") == "env-secret"
+    assert p(f"file:{f}") == "file-secret"
+    assert p(f"json:{store}#grove/token") == "json-secret"
+    assert p("static:abc") == "S:abc"
+    assert p("GROVE_T1") == "env-secret"  # schemeless -> env fallback
+    assert p("file:/nonexistent") == "" and p("nope:x") == ""

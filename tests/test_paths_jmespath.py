@@ -246,3 +246,62 @@ def test_unknown_function_is_loud():
         compile_expr(SCHEMA, "bogus(events)")
     with pytest.raises(ValueError, match="arity"):
         compile_expr(SCHEMA, "length(events, id)")
+
+
+def test_filter_projections_match_jmespath(df):
+    """[?path <op> literal] filter projections — string and nested-path
+    comparisons, chained remainders, vs the library."""
+    from grove_spark.functions.paths import compile_expr
+
+    cases = [
+        "events[?name == 'login'].name",
+        "events[?name != 'login'].name",
+        "events[?name == 'nosuch'].name",
+        "events[?name == 'login'].tags",
+        "events[?name >= 'logout'].name",
+    ]
+    cols = [compile_expr(SCHEMA, e)[0].alias(f"f{i}") for i, e in enumerate(cases)]
+    got = df.select(F.col("id"), *cols).collect()
+    for r in got:
+        want_row = next(d for d in DICT_ROWS if d["id"] == r["id"])
+        for i, e in enumerate(cases):
+            assert _plain(r[f"f{i}"]) == _jp(e, want_row), f"{e} id={r['id']}"
+
+
+def test_filter_projection_numeric_backtick_literal(spark):
+    """Backtick literals are JSON (numbers), not strings — `2` filters
+    numerically; a filter over a null array yields null."""
+    import jmespath as jp
+
+    from grove_spark.functions.paths import compile_expr
+
+    schema = T.StructType([
+        T.StructField("rows", T.ArrayType(T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ])))
+    ])
+    df = spark.createDataFrame(
+        [([{"n": 1, "v": "a"}, {"n": 3, "v": "b"}, {"n": 5, "v": "c"}],), (None,)],
+        schema,
+    )
+    expr = "rows[?n > `2`].v"
+    col, t = compile_expr(schema, expr)
+    got = [r["x"] for r in df.select(col.alias("x")).collect()]
+    assert got[0] == jp.search(expr, {"rows": [{"n": 1, "v": "a"}, {"n": 3, "v": "b"}, {"n": 5, "v": "c"}]})
+    assert got[0] == ["b", "c"] and got[1] is None
+    assert isinstance(t, T.ArrayType)
+
+
+def test_filter_projection_in_extract_and_unsupported_loud(df):
+    out = extract_paths(
+        df, [{"destination": "login_tags",
+              "sources": ["events[?name == 'login'].tags"]}]
+    ).collect()
+    vals = [r["login_tags"] for r in out]
+    assert [["a", "b"]] in vals
+
+    from grove_spark.functions.paths import path_col
+
+    with pytest.raises(ValueError, match="unsupported filter"):
+        path_col("events[?name].tags")
