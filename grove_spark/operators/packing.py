@@ -1,0 +1,155 @@
+"""Sequence packing and deterministic corpus sampling — the two batch
+ops a tokens pipeline needs between dedup and the trainer.
+
+* ``pack_sequences`` — greedy-concatenate-then-chunk packing: within
+  each partition key, documents are laid out in a deterministic order,
+  the running token count accumulates, and bin id = floor of the
+  PRE-document cumulative sum / capacity. This is the standard
+  "concat and chunk every `capacity` tokens" packing of LLM data
+  pipelines (a document may straddle its bin's end — the trainer's
+  chunker splits it), NOT bin-packing with rejection: it is exactly
+  expressible as one window cumsum, so it costs ONE shuffle on the
+  partition key. At 100 TB: the window partitions by ``by`` (e.g.
+  source/shard); a single giant key would serialize — feed a composite
+  key (source, shard_id) the way the corpus is already sharded.
+
+* ``stratified_sample`` — per-stratum deterministic sampling by a hash
+  of the id column: reruns pick the SAME rows (resume-safe, unlike
+  ``df.sample`` whose row selection shifts with partitioning), and the
+  rate is exact-in-expectation per stratum. The multiplier is the
+  Knuth/Fibonacci 32-bit constant; the modulus arithmetic is plain
+  BIGINT so any engine reproduces the selection bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_KNUTH = 2654435761  # 32-bit golden-ratio multiplier
+
+
+def pack_sequences(
+    df: DataFrame,
+    length_col: str = "n_tok",
+    capacity: int = 4096,
+    order_col: str = "doc_id",
+    by: Optional[Sequence[str]] = ("source",),
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each row the training-bin id it starts in.
+
+    bin = floor((cumsum(length) - length) / capacity) over rows ordered
+    by ``order_col`` within ``by``. Deterministic given the order column.
+    """
+    by = list(by or [])
+    w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = F.sum(F.col(length_col)).over(w)
+    return df.withColumn(
+        bin_col, F.floor((cum - F.col(length_col)) / F.lit(capacity)).cast("bigint")
+    )
+
+
+def pack_stats(packed: DataFrame, by: Sequence[str] = ("source",), bin_col: str = "bin",
+               length_col: str = "n_tok") -> DataFrame:
+    """Per-bin packing telemetry: docs per bin + token fill."""
+    return packed.groupBy(*by, bin_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(length_col).cast("bigint").alias("fill"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Keep a deterministic ``rates[stratum]`` fraction of each stratum.
+
+    Selection: ``(id * KNUTH) % modulus < rate * modulus`` — the id must
+    be integral (hash string ids to BIGINT first). Rates quantize to
+    1/modulus. Exactly reproducible across engines and reruns.
+    """
+    h = (F.col(id_col).cast("bigint") * F.lit(_KNUTH)) % F.lit(modulus)
+    keep = F.lit(int(default_rate * modulus))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        thr = F.lit(int(rate * modulus))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = expr.otherwise(keep) if expr is not None else keep
+    return df.where(h < thr_col)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_word_max: float = 0.6,
+    top_bigram_max: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``dup_word_frac``   — 1 - distinct/total words (word-level
+      repetition; the line-level rule collapses to this on single-line
+      docs);
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      / total bigrams (boilerplate loops);
+    * ``is_repetitive``   — either signal over its threshold.
+
+    The bigram mode is computed with ONE explode + two partial-agg
+    groupBys on (doc, bigram) — no text re-shuffles beyond the exploded
+    narrow pairs. Documents with < 2 words have no bigrams: frac 0.0.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        id_col,
+        F.size(words).cast("bigint").alias("__n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("__n_distinct"),
+        words.alias("__w"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__w", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__bg"),
+    )
+    top_bg = (
+        bigrams.groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c").cast("bigint").alias("__top_bg"),
+            F.sum("__c").cast("bigint").alias("__n_bg"),
+        )
+    )
+    out = base.drop("__w").join(top_bg, id_col, "left")
+    dup_frac = (
+        F.lit(1.0) - F.col("__n_distinct").cast("double") / F.col("__n_words")
+    )
+    bg_frac = F.when(
+        F.col("__n_bg").isNotNull() & (F.col("__n_bg") > 0),
+        F.col("__top_bg").cast("double") / F.col("__n_bg"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        dup_frac.alias("dup_word_frac"),
+        bg_frac.alias("top_bigram_frac"),
+        ((dup_frac > dup_word_max) | (bg_frac > top_bigram_max)).alias(
+            "is_repetitive"
+        ),
+    )

@@ -1132,9 +1132,17 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     # the file-stream source lists a DIRECTORY; expose the single parquet
-    # file through a symlinked temp dir (testdata itself is read-only)
-    d = tempfile.mkdtemp(prefix="grove_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    # file through a symlinked temp dir (testdata itself is read-only).
+    # One stable dir per (process, sf_dir): reruns reuse it instead of
+    # leaking a fresh temp dir per invocation
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"grove_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     stream = (
         spark.readStream.schema(ev_schema)
         .parquet(d)
@@ -1508,8 +1516,13 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="grove_csv_scan_")
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    ev.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
-    scanned = csv_log_scan(spark, d, "event_id", watermark="499")
+    # natural task-parallel CSV files (a coalesce(1) here would serialize
+    # the write through one task at scale); the scan lists the directory
+    ev.write.mode("overwrite").option("header", "true").csv(d)
+    scanned = csv_log_scan(
+        spark, d, "event_id", watermark="499",
+        schema="event_id bigint, event_type string, user_id bigint",
+    )
     return scanned.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min("event_id").cast("bigint").alias("first_id"),
@@ -1916,6 +1929,90 @@ WHERE CAST(common AS DOUBLE) / s.n_sh >= 0.5
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): greedy
+    concat-and-chunk into 4096-unit training bins per source, ordered by
+    doc_id; per-bin fill telemetry. One window shuffle on source."""
+    from grove_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, length_col="n_chars", capacity=4096, order_col="doc_id", by=["source"]
+    )
+    return pack_stats(packed, by=["source"], length_col="n_chars")
+
+
+SQL_SEQUENCE_PACK = """
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT source, CAST((cum - n_chars) // 4096 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS fill
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source corpus sampling / data mixing
+    (operators/packing.stratified_sample): hash-of-id selection so
+    reruns pick identical rows; per-source rates."""
+    from grove_spark.operators.packing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        {"src0": 0.10, "src1": 0.50, "src2": 0.90},
+        stratum_col="source", id_col="doc_id", default_rate=0.25,
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 10000 <
+      CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 9000 ELSE 2500 END
+GROUP BY source
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/packing.repetition_signals): word-duplication fraction +
+    top-bigram fraction per doc, thresholded to is_repetitive."""
+    from grove_spark.operators.packing import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct, w FROM w),
+bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+       FROM base, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t),
+top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg
+        FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) q GROUP BY doc_id)
+SELECT b.doc_id,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+       CASE WHEN t.n_bg IS NOT NULL AND t.n_bg > 0
+            THEN CAST(t.top_bg AS DOUBLE) / t.n_bg ELSE 0.0 END AS top_bigram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.6
+         OR (CASE WHEN t.n_bg IS NOT NULL AND t.n_bg > 0
+                  THEN CAST(t.top_bg AS DOUBLE) / t.n_bg ELSE 0.0 END) > 0.2
+         AS is_repetitive
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
 QUERIES.update({
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
@@ -1923,6 +2020,9 @@ QUERIES.update({
     "bmp_decode": q_bmp_decode,
     "wav_decode": q_wav_decode,
     "containment": q_containment,
+    "sequence_pack": q_sequence_pack,
+    "stratified_sample": q_stratified_sample,
+    "repetition": q_repetition,
 })
 ORACLE.update({
     "decontaminate": SQL_DECONTAMINATE,
@@ -1931,6 +2031,9 @@ ORACLE.update({
     "bmp_decode": SQL_BMP_DECODE,
     "wav_decode": SQL_WAV_DECODE,
     "containment": SQL_CONTAINMENT,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "repetition": SQL_REPETITION,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker

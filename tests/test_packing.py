@@ -1,0 +1,62 @@
+"""Sequence packing, stratified sampling, repetition signals."""
+
+from pyspark.sql import functions as F
+
+from grove_spark.operators.packing import (
+    pack_sequences,
+    pack_stats,
+    repetition_signals,
+    stratified_sample,
+)
+
+
+def test_pack_sequences_bins_and_straddle(spark):
+    rows = [
+        ("s", 1, 3000), ("s", 2, 3000),  # doc2 starts at 3000 -> bin 0 (straddles)
+        ("s", 3, 3000),                  # starts at 6000 -> bin 1
+        ("s", 4, 100),                   # starts at 9000 -> bin 2
+        ("t", 9, 5000),                  # own partition: starts at 0 -> bin 0
+        ("t", 10, 1),                    # starts at 5000 -> bin 1
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    packed = pack_sequences(df, length_col="n_tok", capacity=4096,
+                            order_col="doc_id", by=["source"])
+    got = {(r["source"], r["doc_id"]): r["bin"] for r in packed.collect()}
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 2,
+                   ("t", 9): 0, ("t", 10): 1}
+    stats = {(r["source"], r["bin"]): (r["n_docs"], r["fill"])
+             for r in pack_stats(packed, by=["source"]).collect()}
+    assert stats[("s", 0)] == (2, 6000) and stats[("t", 1)] == (1, 1)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s1 = stratified_sample(df, {"a": 0.1, "b": 0.8}, id_col="doc_id")
+    s2 = stratified_sample(df, {"a": 0.1, "b": 0.8}, id_col="doc_id")
+    r1 = sorted(r["doc_id"] for r in s1.collect())
+    assert r1 == sorted(r["doc_id"] for r in s2.collect()), "must be rerun-stable"
+    by_src = {r["source"]: r["n"] for r in
+              s1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(by_src["a"] / 5000 - 0.1) < 0.02
+    assert abs(by_src["b"] / 5000 - 0.8) < 0.02
+    # default_rate=0 drops unlisted strata entirely
+    assert stratified_sample(df, {"a": 0.1}, id_col="doc_id").where(
+        "source = 'b'").count() == 0
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),                 # degenerate
+        (2, "buy now buy now buy now buy now"),               # looping bigram
+        (3, "a perfectly ordinary sentence with unique words entirely"),
+        (4, "solo"),                                          # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["is_repetitive"] and got[1]["dup_word_frac"] > 0.8
+    assert got[2]["is_repetitive"] and got[2]["top_bigram_frac"] > 0.2
+    assert not got[3]["is_repetitive"]
+    assert got[4]["top_bigram_frac"] == 0.0 and not got[4]["is_repetitive"]
