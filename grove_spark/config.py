@@ -263,27 +263,28 @@ def assemble_fleet(
     (registry.py pointer_kind); each member's watermark predicate and
     seen-hash pointer use its own column, typed natively.
 
-    Configs sharing an identical processor chain form one branch: the
-    branch filters to its connectors' sources with a COARSE pushdown
-    predicate (OR of per-source watermark ranges — the union of what any
-    member still needs), enriches with the member dim (which fans each
-    row out to every member reading that source), then applies the EXACT
-    per-member watermark predicate and seen-hash anti-join keyed by the
-    FULL config identity (connector, identity, operation). Two identities
+    ONE deduped stream feeds the whole fleet: the scan carries a COARSE
+    pushdown predicate (OR of per-source watermark ranges — the union of
+    what any member still needs), the member-dim enrich fans each row out
+    to every member reading that source, then the EXACT per-member
+    watermark predicate and seen-hash anti-join apply keyed by the FULL
+    config identity (connector, identity, operation). Two identities
     sharing one source therefore each filter by their OWN state — keying
     the exact filter on ``source`` alone would let one identity's seen
     hashes drop boundary rows the other has not ingested (data loss) and
     the lower watermark re-admit rows the other already committed
-    (duplicates). Runs the shared chain for its 'processed' stream and
-    routes through the configs' outputs. Branches union into one plan.
+    (duplicates).
+
+    Routing branches over the shared stream: one raw branch for every
+    member, plus one processed branch per distinct processor chain
+    (chainless members share a single pass-through branch) — branch
+    count is 1 + distinct chains, not 2 per chain group, and every
+    branch derives from ONE scan subtree (persist the shared frame, as
+    run_fleet does, and the source is read once per tick).
 
     Plan shape (verified in tests/test_plan_hygiene.py): every join is a
-    BroadcastHashJoin, zero Python, and each branch's ``In(source, [...])``
-    predicate reaches the parquet scan as a PushedFilter. Each branch
-    scans the fact table independently — at production scale the table is
-    partitioned/clustered by ``source`` (Iceberg), so branch scans read
-    disjoint file sets; in local tests callers may ``persist()`` the
-    sequences DataFrame to share one materialization.
+    BroadcastHashJoin, zero Python, and the fleet's ``In(source, [...])``
+    predicate reaches the parquet scan as a PushedFilter.
     """
     from grove_spark.functions.hashing import entry_hash
     from grove_spark.operators.dedup import watermark_literal
@@ -294,92 +295,102 @@ def assemble_fleet(
     watermarks = watermarks or {}
     seen_states = seen_states or {}
 
+    # ---- ONE deduped stream for the whole fleet ---------------------------
+    # per-connector incremental predicate (exact resume, D2/D3).
+    # The watermark literal is cast to the pointer column's native
+    # type (see operators/dedup.watermark_literal): the bare-column
+    # GreaterThan pushes to the parquet scan and numeric sequence
+    # pointers order correctly. Connectors with boundary seen-hashes
+    # use an INCLUSIVE bound + anti-join (exactly-once at the
+    # boundary, grove/connectors/__init__.py:627-671).
+    coarse = None   # source-keyed superset predicate — pushdown-able
+    exact = None    # full-key predicate applied AFTER the enrich fan-out
+    seen_rows = []
+    ptr_case = None  # per-MEMBER pointer string for the seen anti-join
+    for m in configs:
+        pc = (pointer_cols or {}).get(m.reference(), pointer_col)
+        wm = watermarks.get(m.reference())
+        seen = seen_states.get(m.reference(), {})
+        if wm:
+            lit_wm = watermark_literal(sequences, pc, wm)
+            cmp = F.col(pc) >= lit_wm if seen else F.col(pc) > lit_wm
+        else:
+            cmp = F.lit(True)
+        is_src = F.col("source") == m.source
+        c = is_src & cmp
+        coarse = c if coarse is None else (coarse | c)
+        is_m = (
+            (F.col("connector") == m.connector)
+            & (F.col("identity") == m.identity)
+            & (F.col("operation") == m.operation)
+        )
+        e = is_m & cmp
+        exact = e if exact is None else (exact | e)
+        seen_rows += [
+            (m.connector, m.identity, m.operation, ptr, h)
+            for ptr, hs in seen.items() for h in hs
+        ]
+        branch_ptr = F.when(is_m, F.col(pc).cast("string"))
+        ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
+            is_m, F.col(pc).cast("string")
+        )
+    ded = sequences
+    if coarse is not None:
+        ded = ded.where(coarse)
+    # enrich with the full member dim: a row whose source feeds K members
+    # becomes K rows, one per (connector, identity, operation)
+    ded = enrich(ded, sources_dim_from_configs(spark, configs), on="source")
+    if exact is not None:
+        ded = ded.where(exact)
+    if seen_rows:
+        seen_df = spark.createDataFrame(
+            seen_rows,
+            "connector string, identity string, operation string, "
+            "__p string, __h string",
+        )
+        ded = (
+            ded.withColumn("__h", entry_hash(list(hash_cols)))
+            .withColumn("__p", ptr_case)
+            .join(
+                F.broadcast(seen_df),
+                ["connector", "identity", "operation", "__p", "__h"],
+                "left_anti",
+            )
+            .drop("__p", "__h")
+        )
+
+    # ---- routing branches over the SHARED deduped stream ------------------
+    # Sinks dims are keyed by the FULL config identity so same-named
+    # connectors don't cross-route, and route()'s inner join doubles as
+    # the membership filter. Branch count = 1 raw + 1 unchained-processed
+    # + one per distinct non-empty chain (the round-2 shape was 2 per
+    # chain group — at fleet width the plan size halves and every branch
+    # shares one scan subtree instead of re-deriving its own).
+    route_keys = ["connector", "identity", "operation"]
+    all_sinks = sinks_dim_from_configs(spark, configs)
+    branches = [
+        route(
+            ded, all_sinks.where(F.col("stream") != "processed"),
+            connector_col=route_keys, raw_col="tokens",
+        )
+    ]
     groups: Dict[str, List[ConnectorConfig]] = {}
     for cfg in configs:
         groups.setdefault(cfg.chain_key(), []).append(cfg)
-
-    branches = []
-    deduped_branches = []
+    key_lit = F.concat_ws("\x01", *route_keys)
     for chain_json, members in groups.items():
         chain = json.loads(chain_json)
-        srcs = [m.source for m in members]
-        branch = sequences.where(F.col("source").isin(srcs))
-        # per-connector incremental predicate (exact resume, D2/D3).
-        # The watermark literal is cast to the pointer column's native
-        # type (see operators/dedup.watermark_literal): the bare-column
-        # GreaterThan pushes to the parquet scan and numeric sequence
-        # pointers order correctly. Connectors with boundary seen-hashes
-        # use an INCLUSIVE bound + anti-join (exactly-once at the
-        # boundary, grove/connectors/__init__.py:627-671).
-        coarse = None   # source-keyed superset predicate — pushdown-able
-        exact = None    # full-key predicate applied AFTER the enrich fan-out
-        seen_rows = []
-        ptr_case = None  # per-MEMBER pointer string for the seen anti-join
-        for m in members:
-            pc = (pointer_cols or {}).get(m.reference(), pointer_col)
-            wm = watermarks.get(m.reference())
-            seen = seen_states.get(m.reference(), {})
-            if wm:
-                lit_wm = watermark_literal(sequences, pc, wm)
-                cmp = F.col(pc) >= lit_wm if seen else F.col(pc) > lit_wm
-            else:
-                cmp = F.lit(True)
-            is_src = F.col("source") == m.source
-            c = is_src & cmp
-            coarse = c if coarse is None else (coarse | c)
-            is_m = (
-                (F.col("connector") == m.connector)
-                & (F.col("identity") == m.identity)
-                & (F.col("operation") == m.operation)
-            )
-            e = is_m & cmp
-            exact = e if exact is None else (exact | e)
-            seen_rows += [
-                (m.connector, m.identity, m.operation, ptr, h)
-                for ptr, hs in seen.items() for h in hs
-            ]
-            branch_ptr = F.when(is_m, F.col(pc).cast("string"))
-            ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
-                is_m, F.col(pc).cast("string")
-            )
-        if coarse is not None:
-            branch = branch.where(coarse)
-        # enrich with the MEMBER dim only: a row whose source feeds K
-        # members becomes K rows, one per (connector, identity, operation)
-        branch = enrich(branch, sources_dim_from_configs(spark, members), on="source")
-        if exact is not None:
-            branch = branch.where(exact)
-        if seen_rows:
-            seen_df = spark.createDataFrame(
-                seen_rows,
-                "connector string, identity string, operation string, "
-                "__p string, __h string",
-            )
-            branch = (
-                branch.withColumn("__h", entry_hash(list(hash_cols)))
-                .withColumn("__p", ptr_case)
-                .join(
-                    F.broadcast(seen_df),
-                    ["connector", "identity", "operation", "__p", "__h"],
-                    "left_anti",
-                )
-                .drop("__p", "__h")
-            )
-        deduped_branches.append(branch)
-        # the branch's own members' outputs only, keyed by the FULL
-        # config identity so same-named connectors don't cross-route
-        member_sinks = sinks_dim_from_configs(spark, members)
-        route_keys = ["connector", "identity", "operation"]
-        raw_routed = route(
-            branch, member_sinks.where(F.col("stream") != "processed"),
-            connector_col=route_keys, raw_col="tokens",
+        proc_sinks = sinks_dim_from_configs(spark, members).where(
+            F.col("stream") == "processed"
         )
-        branches.append(raw_routed)
-        proc_sinks = member_sinks.where(F.col("stream") == "processed")
         if chain:
-            processed = apply_chain(branch, chain)
+            # pre-filter to the group's members BEFORE the chain: fan-out
+            # processors (split_path) must not run over foreign rows that
+            # the routing join would drop anyway
+            keys = ["\x01".join([m.connector, m.identity, m.operation]) for m in members]
+            processed = apply_chain(ded.where(key_lit.isin(keys)), chain)
         else:
-            processed = branch
+            processed = ded
         branches.append(
             route(processed, proc_sinks, connector_col=route_keys, raw_col="tokens")
         )
@@ -388,9 +399,6 @@ def assemble_fleet(
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
     if return_deduped:
-        ded = deduped_branches[0]
-        for b in deduped_branches[1:]:
-            ded = ded.unionByName(b, allowMissingColumns=True)
         return out, ded
     return out
 
