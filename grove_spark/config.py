@@ -427,13 +427,19 @@ def run_daemon(
     ``sleep_fn`` are injectable for tests and for external schedulers.
     A ConcurrentCommitError from a racing committer skips the tick —
     the work is retried on the next one (the reference's lock-conflict
-    outcome, connectors/__init__.py:1067-1173). Returns per-tick reports.
+    outcome, connectors/__init__.py:1067-1173). Returns the per-tick
+    reports, capped at the newest ``keep_reports`` so the run-forever
+    mode (4 ticks/s for days) cannot grow driver memory without bound —
+    durable per-run telemetry lives in the run-state manifest, not here.
     """
+    from collections import deque
+
     from grove_spark.state.runstate import ConcurrentCommitError
 
+    keep_reports = 1000
     configs = load_configs(config_path)
     last_refresh = now_fn()
-    reports: List[dict] = []
+    reports: deque = deque(maxlen=keep_reports)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         now = now_fn()
@@ -450,7 +456,7 @@ def run_daemon(
         reports.append(r)
         ticks += 1
         sleep_fn(tick_s)
-    return reports
+    return list(reports)
 
 
 def run_fleet(

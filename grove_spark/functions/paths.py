@@ -91,7 +91,13 @@ def _split_indices(segment: str) -> Tuple[str, List]:
             idxs.append(("?", raw[1:].strip()))
         elif ":" in raw:
             a, _, b = raw.partition(":")
-            idxs.append((int(a) if a else None, int(b) if b else None))
+            try:
+                idxs.append((int(a) if a else None, int(b) if b else None))
+            except ValueError:
+                raise ValueError(
+                    f"unsupported slice [{raw}] in segment {segment!r} "
+                    "(stepped slices [a:b:s] do not compile)"
+                ) from None
         else:
             idxs.append(int(raw))
     return m.group("base"), idxs
@@ -108,6 +114,16 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
             toks.append(("field", part))
             continue
         base, idxs = _split_indices(part)
+        if "[" in base or "]" in base:
+            # brackets that survived index parsing are malformed index
+            # syntax (e.g. a filter whose literal or inner path contains
+            # ']' — beyond the regex grammar). Failing loudly beats
+            # compiling a never-matching field named "a[?tags[0..." that
+            # silently yields null for every row.
+            raise ValueError(
+                f"unparseable index/filter syntax in path segment {part!r}; "
+                "quote the segment if the brackets are a literal field name"
+            )
         toks.append(("field", base))
         for i in idxs:
             if i == "*":
@@ -278,8 +294,29 @@ def _split_top(s: str, sep: str = ",") -> List[str]:
     return [p for p in (x.strip() for x in out) if p]
 
 
+def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
+    """str.partition at the first ``sep`` OUTSIDE quotes and brackets
+    (a multiselect key may be quoted and contain ':'; a value may be a
+    slice expression whose ':' must not split the pair)."""
+    depth, quote = 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            return s[:i], sep, s[i + 1:]
+    return s, "", ""
+
+
 def compile_expr(
-    schema: T.StructType, expr: str
+    schema: T.StructType, expr: str, quoted_is_field: bool = True
 ) -> Tuple[Column, T.DataType | None] | None:
     """Compile the JMESPath expression subset the reference's shipped
     configs draw on beyond bare paths (grove/processors/extract_paths.py:86
@@ -294,8 +331,8 @@ def compile_expr(
     if expr.startswith("{") and expr.endswith("}"):
         fields, ftypes = [], []
         for part in _split_top(expr[1:-1]):
-            k, _, v = part.partition(":")
-            if not _:
+            k, sep, v = _partition_top(part, ":")
+            if not sep:
                 return None
             sub = compile_expr(schema, v)
             if sub is None:
@@ -304,8 +341,20 @@ def compile_expr(
             fields.append(sub[0].alias(name))
             ftypes.append(T.StructField(name, sub[1] or T.NullType()))
         return F.struct(*fields), T.StructType(ftypes)
-    # raw string literal / backtick JSON literal
+    # raw string literal / backtick JSON literal. GRAMMAR CONFLICT: this
+    # codebase's path language single-quotes literal FIELD names (the
+    # registry's '@timestamp' pointer paths, grove/helpers/parsing.py
+    # tokenizer parity), while JMESPath single-quotes raw STRING
+    # literals. Resolution: a quoted top-level expression that RESOLVES
+    # against the schema is a field (reference-config compat wins);
+    # otherwise it reads as a string literal. Function ARGUMENTS always
+    # read as literals (contains(x, 'a') — jmespath semantics), via
+    # quoted_is_field=False below.
     if len(expr) >= 2 and expr[0] == expr[-1] and expr[0] in ("'", '"'):
+        if quoted_is_field and expr[0] == "'":
+            rt = resolve_type(schema, expr)
+            if rt is not None:
+                return path_col(expr), rt
         return F.lit(expr[1:-1]), T.StringType()
     if len(expr) >= 2 and expr[0] == expr[-1] == "`":
         import json as _json
@@ -320,7 +369,7 @@ def compile_expr(
     if m and "." not in m.group("fn"):
         fn, args = m.group("fn"), _split_top(m.group("args"))
         if fn == "length" and len(args) == 1:
-            sub = compile_expr(schema, args[0])
+            sub = compile_expr(schema, args[0], quoted_is_field=False)
             if sub is None:
                 return None
             col, t = sub
@@ -338,7 +387,8 @@ def compile_expr(
                 )
             raise ValueError(f"length() over {t} (invalid-type in jmespath)")
         if fn in ("contains", "starts_with", "ends_with") and len(args) == 2:
-            s1, s2 = compile_expr(schema, args[0]), compile_expr(schema, args[1])
+            s1 = compile_expr(schema, args[0], quoted_is_field=False)
+            s2 = compile_expr(schema, args[1], quoted_is_field=False)
             if s1 is None or s2 is None:
                 return None
             (c1, t1), (c2, _) = s1, s2

@@ -223,9 +223,11 @@ def wav_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 flat = s.reshape(-1).astype(np.int64)
                 cols["n_samples"].append(flat.size)
                 cols["sample_rate"].append(rate)
-                cols["sample_sum"].append(int(flat.sum()))
-                cols["sample_min"].append(int(flat.min()))
-                cols["sample_max"].append(int(flat.max()))
+                # an empty data chunk is legal RIFF (zero-length capture):
+                # sum 0, null extrema — min()/max() of an empty array raise
+                cols["sample_sum"].append(int(flat.sum()) if flat.size else 0)
+                cols["sample_min"].append(int(flat.min()) if flat.size else None)
+                cols["sample_max"].append(int(flat.max()) if flat.size else None)
             pdf = pdf.copy()
             for k, v in cols.items():
                 pdf[k] = v

@@ -74,11 +74,22 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep a deterministic ``rates[stratum]`` fraction of each stratum.
 
-    Selection: ``(id * KNUTH) % modulus < rate * modulus`` — the id must
-    be integral (hash string ids to BIGINT first). Rates quantize to
-    1/modulus. Exactly reproducible across engines and reruns.
+    Selection: ``pmod(pmod(id, modulus) * (KNUTH % modulus), modulus) <
+    rate * modulus`` — the id must be integral (hash string ids to
+    BIGINT first; xxhash64 ids are signed, which is why the formula uses
+    pmod — a plain ``%`` keeps the dividend's sign and would admit every
+    negative id at 100%) and the inner pmod keeps the multiply far from
+    BIGINT overflow (Spark 4's default ANSI mode throws on it; ids near
+    2^63 * KNUTH would otherwise abort the job). For non-negative ids
+    the reduced form equals ``(id * KNUTH) % modulus`` exactly. Rates
+    quantize to 1/modulus. Exactly reproducible across engines and
+    reruns.
     """
-    h = (F.col(id_col).cast("bigint") * F.lit(_KNUTH)) % F.lit(modulus)
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(modulus))
+        * F.lit(_KNUTH % modulus),
+        F.lit(modulus),
+    )
     keep = F.lit(int(default_rate * modulus))
     expr = None
     for stratum, rate in sorted(rates.items()):

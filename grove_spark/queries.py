@@ -1977,7 +1977,7 @@ SQL_STRATIFIED_SAMPLE = """
 SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 10000 <
+WHERE ((doc_id % 10000) * 5761) % 10000 <
       CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 5000
                   WHEN 'src2' THEN 9000 ELSE 2500 END
 GROUP BY source

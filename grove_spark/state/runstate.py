@@ -381,6 +381,7 @@ class RunState:
         delete_orphans_under: Optional[str] = None,
         dry_run: bool = False,
         orphan_grace_s: float = 0.0,
+        pending_ttl_s: float = 86_400.0,
     ) -> dict:
         """Retention — the Iceberg ``expire_snapshots`` analog.
 
@@ -395,6 +396,14 @@ class RunState:
         either guard closes the race where a writer's pre-commit data
         dir looked like an orphan. Paths are normpath-compared so a
         trailing slash can't make every committed dir look orphaned.
+
+        Pending markers themselves retire when their path commits or
+        after ``pending_ttl_s`` (a crashed writer's marker must not
+        shield its residue forever — after the TTL the dir becomes an
+        ordinary orphan). A marker is NEVER dropped merely because its
+        directory does not exist yet: registration happens before the
+        write, so the dir-missing window is exactly when protection
+        matters.
 
         Runs under the commit lock so a concurrent committer can't
         publish between the read and the rewrite. Returns
@@ -430,16 +439,20 @@ class RunState:
                 for p in h["data_paths"]
                 if norm(p) not in kept_paths
             }
+            all_referenced = {
+                norm(p) for _, h in per_file for p in h["data_paths"]
+            }
+            now = time.time()
+            live_pending = {
+                p for p, ts in self._pending_paths().items()
+                if now - ts < pending_ttl_s
+            }
             orphans = set()
             if delete_orphans_under:
-                all_referenced = {
-                    norm(p) for _, h in per_file for p in h["data_paths"]
-                }
-                pending = set(self._pending_paths())
-                cutoff = time.time() - orphan_grace_s
+                cutoff = now - orphan_grace_s
                 for d in _glob.glob(os.path.join(delete_orphans_under, "part-*")):
                     nd = norm(d)
-                    if nd in all_referenced or nd in pending:
+                    if nd in all_referenced or nd in live_pending:
                         continue
                     try:
                         if os.path.getmtime(d) > cutoff:
@@ -448,13 +461,34 @@ class RunState:
                         continue
                     orphans.add(nd)
             if not dry_run:
-                # housekeeping: markers whose path committed anyway, or
-                # whose directory never materialized, are dead weight
-                for pp in self._pending_paths():
-                    if pp in {norm(p) for _, h in per_file for p in h["data_paths"]} or (
-                        not os.path.exists(pp)
-                    ):
+                # marker housekeeping: committed paths are protected by
+                # history now; TTL-expired markers are crashed writers'
+                # residue. A marker whose dir is merely missing is an
+                # in-flight writer BEFORE its write — keep it.
+                for pp, ts in self._pending_paths().items():
+                    if pp in all_referenced or now - ts >= pending_ttl_s:
                         self._clear_pending([pp])
+                # ghost run/key files at versions ABOVE the committed root
+                # are crashed commits' residue. The version bump below
+                # must not make them visible (a resurrected run record
+                # breaks is_committed idempotence and exposes
+                # never-published data paths) — delete them first.
+                for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
+                    try:
+                        v = int(os.path.splitext(os.path.basename(p))[0])
+                    except ValueError:  # pragma: no cover
+                        continue
+                    if v > root["version"]:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(p)
+                for p in _glob.glob(os.path.join(self._keys_dir, "*-*.json")):
+                    try:
+                        g = int(p.rsplit("-", 1)[1][:-5])
+                    except ValueError:  # pragma: no cover
+                        continue
+                    if g > root["version"]:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(p)
                 for p in sorted(dead_norm | orphans):
                     shutil.rmtree(p, ignore_errors=True)
                 # rewrite only run files that lost records; drop empties

@@ -166,3 +166,17 @@ def test_decode_and_featurize_with_real_bmp(spark):
     feats = out["features"]
     assert len(feats) == 16
     assert all(abs(f - 51 / 255) < 1e-6 for f in feats)
+
+
+def test_wav_stats_empty_data_chunk(spark):
+    """A zero-length data chunk is legal RIFF: n_samples=0, null extrema
+    — not a task-killing numpy reduction error."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import encode_wav_pcm16, wav_stats
+
+    empty = encode_wav_pcm16(np.array([], dtype=np.int16), rate=8000)
+    df = spark.createDataFrame([(1, bytearray(empty))], "id int, blob binary")
+    r = wav_stats(df).first()
+    assert r["n_samples"] == 0 and r["sample_sum"] == 0
+    assert r["sample_min"] is None and r["sample_max"] is None

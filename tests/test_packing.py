@@ -60,3 +60,22 @@ def test_repetition_signals(spark):
     assert got[2]["is_repetitive"] and got[2]["top_bigram_frac"] > 0.2
     assert not got[3]["is_repetitive"]
     assert got[4]["top_bigram_frac"] == 0.0 and not got[4]["is_repetitive"]
+
+
+def test_stratified_sample_signed_and_huge_ids(spark):
+    """xxhash64-style ids are signed and near 2^63: pmod keeps negative
+    ids at their stratum's rate (plain % admitted them at 100%) and the
+    reduced multiply cannot overflow under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("doc_id"),
+        F.lit("a").alias("source"),
+    )
+    n_neg = df.where("doc_id < 0").count()
+    assert n_neg > 5000, "fixture should have plenty of negative ids"
+    kept = stratified_sample(df, {"a": 0.2}, id_col="doc_id")
+    frac = kept.count() / 20_000
+    assert abs(frac - 0.2) < 0.02, f"rate off: {frac}"
+    neg_frac = kept.where("doc_id < 0").count() / n_neg
+    assert abs(neg_frac - 0.2) < 0.03, f"negative ids sampled at {neg_frac}"

@@ -305,3 +305,48 @@ def test_filter_projection_in_extract_and_unsupported_loud(df):
 
     with pytest.raises(ValueError, match="unsupported filter"):
         path_col("events[?name].tags")
+
+
+def test_quoted_segment_stays_a_field_in_expressions(spark):
+    """The reference's path grammar single-quotes literal FIELD names
+    ('@timestamp'); routing sources/filters through compile_expr must
+    not reread them as string literals (which made every such filter a
+    constant and every such source an always-truthy literal)."""
+    from grove_spark.functions.paths import compile_expr
+
+    schema = T.StructType([
+        T.StructField("@timestamp", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    df = spark.createDataFrame([("2024-05-05", 1), ("", 2)], schema)
+    col, t = compile_expr(schema, "'@timestamp'")
+    assert isinstance(t, T.StringType)
+    got = [r["x"] for r in df.select(col.alias("x")).collect()]
+    assert got == ["2024-05-05", ""], "quoted field read as a string literal"
+    # extract source: the FIELD's per-row values must come through (a
+    # literal would be the same truthy constant for every row)
+    out = extract_paths(df, [
+        {"destination": "ts", "sources": ["'@timestamp'"]}
+    ]).collect()
+    assert sorted(r["ts"] for r in out) == ["", "2024-05-05"]
+    # an UNRESOLVABLE quoted expression is still a string literal
+    col2, _ = compile_expr(schema, "'no such field'")
+    assert df.select(col2.alias("x")).first()["x"] == "no such field"
+
+
+def test_malformed_bracket_syntax_is_loud():
+    from grove_spark.functions.paths import path_col
+
+    with pytest.raises(ValueError, match="unparseable index"):
+        path_col("a[?tags[0] == 'x'].name")
+    with pytest.raises(ValueError, match="unparseable index"):
+        path_col("a[1:9:2]")
+
+
+def test_multiselect_quoted_key_and_slice_value(df):
+    from grove_spark.functions.paths import compile_expr
+
+    col, t = compile_expr(SCHEMA, "{'a:b': outcome.result, cut: events[0:1].name}")
+    row = df.where("id = 1").select(col.alias("m")).first()["m"]
+    assert row["a:b"] == "FAILURE"
+    assert list(row["cut"]) == ["login"]

@@ -166,3 +166,45 @@ def test_crashed_commit_generation_is_invisible(tmp_path):
     state.commit("k", "r2", pointer="2")
     assert state.pointer("k") == "2" and not state.is_committed("ghost")
     assert [h["run_id"] for h in state._load()["history"]] == ["r1", "r2"]
+
+
+def test_expire_runs_does_not_resurrect_ghost_commits(tmp_path):
+    """A crashed commit's run file at version root+1 must NOT become
+    visible when expire_runs bumps the root version (that would flip
+    is_committed for a run that never published — breaking the
+    streaming sink's idempotence check — and expose unpublished data
+    paths to readers)."""
+    state = RunState(str(tmp_path / "state"))
+    state.commit("k", "r1", pointer="1")
+    with open(os.path.join(state.root, "runs", f"{2:012d}.json"), "w") as f:
+        json.dump({"records": [{"run_id": "ghost", "key": "k", "pointer": "G",
+                                "metrics": {}, "data_paths": ["/data/ghost"]}]}, f)
+    assert not state.is_committed("ghost")
+    state.expire_runs(keep_last=10)
+    assert state.version() == 2
+    assert not state.is_committed("ghost"), "expire_runs resurrected a ghost"
+    assert "/data/ghost" not in state.committed_paths()
+    assert state.is_committed("r1") and state.pointer("k") == "1"
+
+
+def test_pending_marker_lifecycle(tmp_path):
+    """A marker registered BEFORE the data dir exists must protect the
+    about-to-be-written path (not be GC'd as dead weight); a crashed
+    writer's marker expires after the TTL so its residue becomes an
+    ordinary orphan."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    out.mkdir()
+    state.commit("k", "r0", pointer="1")  # some history
+    inflight = out / "part-preview"
+    state.register_pending(str(inflight))  # dir does NOT exist yet
+    state.expire_runs(delete_orphans_under=str(out))
+    # the marker must survive the dir-missing window...
+    inflight.mkdir()  # writer's Spark job starts producing files now
+    res = state.expire_runs(delete_orphans_under=str(out))
+    assert inflight.exists() and str(inflight) not in res["orphans_deleted"], (
+        "pre-write pending marker was dropped; in-flight dir got GC'd"
+    )
+    # ...but a crashed writer's marker expires after the TTL
+    res2 = state.expire_runs(delete_orphans_under=str(out), pending_ttl_s=0.0)
+    assert str(inflight) in res2["orphans_deleted"] and not inflight.exists()
