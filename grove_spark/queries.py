@@ -2013,6 +2013,44 @@ FROM base b LEFT JOIN top t USING (doc_id)
 """
 
 
+def q_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (the exact-arithmetic stand-in
+    for unigram-LM scoring, whose log() is not bit-portable across
+    engines): per document, the mean document-frequency of its distinct
+    words, with the frequency table computed from the corpus itself.
+    Low mean = unusual/rare text; high = boilerplate. At 100 TB the
+    frequency dim is capped/broadcast (same max_df discipline as
+    ngram_jaccard); here the join is the plain shuffle form."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    dfreq = w.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        w.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+        .select(
+            "doc_id", "n_distinct", "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_distinct")).alias("mean_df"),
+        )
+    )
+
+
+SQL_RARE_TOKEN_SCORE = """
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+           FROM documents),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(df) AS BIGINT) AS sum_df,
+       CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+FROM w JOIN df USING (w) GROUP BY doc_id
+"""
+
+
 QUERIES.update({
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
@@ -2023,6 +2061,7 @@ QUERIES.update({
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "repetition": q_repetition,
+    "rare_token_score": q_rare_token_score,
 })
 ORACLE.update({
     "decontaminate": SQL_DECONTAMINATE,
@@ -2034,6 +2073,7 @@ ORACLE.update({
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "repetition": SQL_REPETITION,
+    "rare_token_score": SQL_RARE_TOKEN_SCORE,
 })
 
 # queries with no SQL-expressible oracle: the driver records a weaker
