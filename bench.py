@@ -43,6 +43,7 @@ HEADLINE = [
     "route_counts", "sink_telemetry", "split_path", "dedup_exact",
     "zip_paths", "window_topk", "quality_score", "ann_bruteforce",
     "minhash_lsh", "sessionize_batch", "asof_join", "fleet_mixed",
+    "decontaminate", "pii_redact", "sequence_pack", "repetition",
 ]
 
 

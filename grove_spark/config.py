@@ -415,6 +415,7 @@ def run_daemon(
     now_fn: Callable[[], float] = time.time,
     sleep_fn: Callable[[float], None] = time.sleep,
     pointer_cols: Optional[Dict[str, str]] = None,
+    keep_reports: int = 1000,
 ) -> List[dict]:
     """The ``groved`` daemon loop (grove/entrypoints/local_daemon.py:49-197):
     an endless scheduler that re-reads the config tree every ``refresh_s``
@@ -431,12 +432,13 @@ def run_daemon(
     reports, capped at the newest ``keep_reports`` so the run-forever
     mode (4 ticks/s for days) cannot grow driver memory without bound —
     durable per-run telemetry lives in the run-state manifest, not here.
+    The returned list carries the TRUE tick count as a ``ticks``
+    attribute (len() only counts the retained tail).
     """
     from collections import deque
 
     from grove_spark.state.runstate import ConcurrentCommitError
 
-    keep_reports = 1000
     configs = load_configs(config_path)
     last_refresh = now_fn()
     reports: deque = deque(maxlen=keep_reports)
@@ -456,7 +458,13 @@ def run_daemon(
         reports.append(r)
         ticks += 1
         sleep_fn(tick_s)
-    return list(reports)
+
+    class _Reports(list):
+        pass
+
+    out = _Reports(reports)
+    out.ticks = ticks
+    return out
 
 
 def run_fleet(

@@ -71,7 +71,7 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s, _ in _split_flagged(path, delimiter, quote)]
 
 
-_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*|\?[^\]]*)\]"
+_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*(?::-?\d*)?|\?[^\]]*)\]"
 _INDEX_RE = re.compile(rf"^(?P<base>.*?)(?P<idx>({_IDX_PART})+)$")
 
 
@@ -96,7 +96,8 @@ def _split_indices(segment: str) -> Tuple[str, List]:
             except ValueError:
                 raise ValueError(
                     f"unsupported slice [{raw}] in segment {segment!r} "
-                    "(stepped slices [a:b:s] do not compile)"
+                    "(only [a:b] with integer bounds compiles; stepped "
+                    "[a:b:s] does not)"
                 ) from None
         else:
             idxs.append(int(raw))
@@ -297,7 +298,9 @@ def _split_top(s: str, sep: str = ",") -> List[str]:
 def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
     """str.partition at the first ``sep`` OUTSIDE quotes and brackets
     (a multiselect key may be quoted and contain ':'; a value may be a
-    slice expression whose ':' must not split the pair)."""
+    slice expression whose ':' must not split the pair). Depth clamps at
+    0 like _split_flagged so a stray closer cannot swallow the rest of
+    the string."""
     depth, quote = 0, None
     for i, ch in enumerate(s):
         if quote:
@@ -309,7 +312,7 @@ def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
         elif ch in "([{":
             depth += 1
         elif ch in ")]}":
-            depth -= 1
+            depth = max(depth - 1, 0)
         elif ch == sep and depth == 0:
             return s[:i], sep, s[i + 1:]
     return s, "", ""
@@ -351,11 +354,23 @@ def compile_expr(
     # read as literals (contains(x, 'a') — jmespath semantics), via
     # quoted_is_field=False below.
     if len(expr) >= 2 and expr[0] == expr[-1] and expr[0] in ("'", '"'):
-        if quoted_is_field and expr[0] == "'":
+        inner = expr[1:-1]
+        # double-quote for a guaranteed string literal; single-quoted
+        # NON-EMPTY exprs field-trial first ('' has no field to name and
+        # must stay the empty-string literal)
+        if quoted_is_field and expr[0] == "'" and inner:
             rt = resolve_type(schema, expr)
-            if rt is not None:
+            if rt is not None and _tokens(expr):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "quoted expression %s resolves as a FIELD of this "
+                    "schema and compiles as one (reference path-grammar "
+                    "precedence); double-quote it for a guaranteed "
+                    "string literal", expr,
+                )
                 return path_col(expr), rt
-        return F.lit(expr[1:-1]), T.StringType()
+        return F.lit(inner), T.StringType()
     if len(expr) >= 2 and expr[0] == expr[-1] == "`":
         import json as _json
 

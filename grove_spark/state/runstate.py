@@ -399,11 +399,14 @@ class RunState:
 
         Pending markers themselves retire when their path commits or
         after ``pending_ttl_s`` (a crashed writer's marker must not
-        shield its residue forever — after the TTL the dir becomes an
-        ordinary orphan). A marker is NEVER dropped merely because its
-        directory does not exist yet: registration happens before the
-        write, so the dir-missing window is exactly when protection
-        matters.
+        shield its residue forever) — but a TTL-expired path is only
+        reclaimed once its directory has also been QUIET for a full TTL
+        (mtime), so a legitimate write slower than the TTL, which keeps
+        landing task files, stays protected while genuinely crashed
+        residue goes stale and is collected. A young marker is NEVER
+        dropped merely because its directory does not exist yet:
+        registration happens before the write, so the dir-missing window
+        is exactly when protection matters.
 
         Runs under the commit lock so a concurrent committer can't
         publish between the read and the rewrite. Returns
@@ -443,30 +446,49 @@ class RunState:
                 norm(p) for _, h in per_file for p in h["data_paths"]
             }
             now = time.time()
+            pending = self._pending_paths()
             live_pending = {
-                p for p, ts in self._pending_paths().items()
-                if now - ts < pending_ttl_s
+                p for p, ts in pending.items() if now - ts < pending_ttl_s
             }
+            expired_pending = set(pending) - live_pending
             orphans = set()
+            deletable_markers = set()
             if delete_orphans_under:
                 cutoff = now - orphan_grace_s
                 for d in _glob.glob(os.path.join(delete_orphans_under, "part-*")):
                     nd = norm(d)
                     if nd in all_referenced or nd in live_pending:
                         continue
+                    # a TTL-expired marker usually means a crashed writer
+                    # — but a write can legitimately run longer than the
+                    # TTL, and an ACTIVE Spark write keeps touching the
+                    # directory (task files land continuously). Require
+                    # the dir itself to have been quiet for a full TTL
+                    # before reclaiming: crashed residue goes stale,
+                    # slow-but-alive writes stay protected.
+                    min_quiet = (
+                        max(orphan_grace_s, pending_ttl_s)
+                        if nd in expired_pending else orphan_grace_s
+                    )
                     try:
-                        if os.path.getmtime(d) > cutoff:
+                        if os.path.getmtime(d) > now - min_quiet:
                             continue
                     except OSError:  # pragma: no cover - raced deletion
                         continue
                     orphans.add(nd)
+                    if nd in expired_pending:
+                        deletable_markers.add(nd)
             if not dry_run:
                 # marker housekeeping: committed paths are protected by
-                # history now; TTL-expired markers are crashed writers'
-                # residue. A marker whose dir is merely missing is an
-                # in-flight writer BEFORE its write — keep it.
-                for pp, ts in self._pending_paths().items():
-                    if pp in all_referenced or now - ts >= pending_ttl_s:
+                # history; an expired marker is dropped only once its
+                # directory is reclaimed (or never existed AND the TTL
+                # passed — a registration whose write never started).
+                # A young marker with a missing dir is an in-flight
+                # writer BEFORE its write — keep it.
+                for pp, ts in pending.items():
+                    if pp in all_referenced or pp in deletable_markers or (
+                        pp in expired_pending and not os.path.exists(pp)
+                    ):
                         self._clear_pending([pp])
                 # ghost run/key files at versions ABOVE the committed root
                 # are crashed commits' residue. The version bump below

@@ -44,7 +44,11 @@ def main() -> None:
         max_ticks=args.max_ticks,
     )
     ran = sum(1 for r in reports if r.get("due"))
-    print(f"daemon exited after {len(reports)} ticks ({ran} with due work)")
+    ticks = getattr(reports, "ticks", len(reports))
+    print(
+        f"daemon exited after {ticks} ticks "
+        f"({ran} of the retained {len(reports)} reports had due work)"
+    )
 
 
 if __name__ == "__main__":

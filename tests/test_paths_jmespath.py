@@ -339,7 +339,7 @@ def test_malformed_bracket_syntax_is_loud():
 
     with pytest.raises(ValueError, match="unparseable index"):
         path_col("a[?tags[0] == 'x'].name")
-    with pytest.raises(ValueError, match="unparseable index"):
+    with pytest.raises(ValueError, match="unsupported slice"):
         path_col("a[1:9:2]")
 
 
@@ -350,3 +350,23 @@ def test_multiselect_quoted_key_and_slice_value(df):
     row = df.where("id = 1").select(col.alias("m")).first()["m"]
     assert row["a:b"] == "FAILURE"
     assert list(row["cut"]) == ["login"]
+
+
+def test_empty_string_literal_and_stepped_slice_message(spark, df):
+    """'' is the empty-string LITERAL (not a field trial / IndexError);
+    stepped slices report a slice-specific error."""
+    from grove_spark.functions.paths import compile_expr, path_col
+
+    col, t = compile_expr(SCHEMA, "''")
+    assert isinstance(t, T.StringType)
+    assert df.select(col.alias("x")).first()["x"] == ""
+    # the constant-fallback idiom: last source is an empty literal
+    out = extract_paths(df, [
+        {"destination": "r", "sources": ["outcome.result", "''"]}
+    ]).collect()
+    assert sorted(r["r"] or "" for r in out) == ["", "FAILURE", "SUCCESS"]
+    # double quotes force a literal even when a same-named field exists
+    col2, _ = compile_expr(SCHEMA, '"id"')
+    assert df.select(col2.alias("x")).first()["x"] == "id"
+    with pytest.raises(ValueError, match="unsupported slice"):
+        path_col("a[1:9:2]")

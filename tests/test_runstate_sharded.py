@@ -208,3 +208,34 @@ def test_pending_marker_lifecycle(tmp_path):
     # ...but a crashed writer's marker expires after the TTL
     res2 = state.expire_runs(delete_orphans_under=str(out), pending_ttl_s=0.0)
     assert str(inflight) in res2["orphans_deleted"] and not inflight.exists()
+
+
+def test_slow_writer_survives_marker_ttl(tmp_path):
+    """A write legitimately running longer than the pending TTL keeps
+    touching its directory; the GC must require the dir to have been
+    QUIET for a full TTL before reclaiming a TTL-expired pending path —
+    crashed residue (stale mtime) still gets collected."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    out.mkdir()
+    state.commit("k", "r0", pointer="1")
+    slow = out / "part-slow"
+    slow.mkdir()
+    state.register_pending(str(slow))
+    # age the MARKER far past the TTL while the dir stays freshly
+    # touched (an active write keeps landing task files)
+    marker = state._pending_marker(str(slow))
+    doc = json.loads(open(marker).read())
+    doc["ts"] = time.time() - 3600
+    with open(marker, "w") as f:
+        json.dump(doc, f)
+    (slow / "task-file").write_text("x")  # dir mtime = now
+    res = state.expire_runs(delete_orphans_under=str(out), pending_ttl_s=60.0)
+    assert slow.exists() and str(slow) not in res["orphans_deleted"], (
+        "active slow write reclaimed at marker TTL"
+    )
+    # crashed residue: the dir itself goes quiet for a full TTL
+    os.utime(slow, (time.time() - 3600, time.time() - 3600))
+    res2 = state.expire_runs(delete_orphans_under=str(out), pending_ttl_s=60.0)
+    assert str(slow) in res2["orphans_deleted"] and not slow.exists()
+    assert not os.listdir(os.path.join(state.root, "pending"))
