@@ -2079,3 +2079,98 @@ ORACLE.update({
 # queries with no SQL-expressible oracle: the driver records a weaker
 # rows-only check for these by design
 NO_ORACLE: set = set()
+
+def q_jdbc_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 SQL pull scan EXECUTED end-to-end against the embedded Derby
+    engine Spark ships (jars/derby-*.jar; reference parity:
+    grove/connectors/snowflake/query_history.py:15-24): a slice of
+    events is loaded into a real Derby table over JDBC, then
+    jdbc_pull_scan re-reads it through the pushed typed-watermark
+    subquery as a 4-way partitioned read and aggregates. The CAST in the
+    pull query is deliberate: Spark's JDBC writer maps StringType to
+    CLOB on Derby, and downstream engines expect comparable VARCHARs."""
+    import tempfile
+
+    from grove_spark.sources.scans import jdbc_pull_scan
+
+    spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/grove_derby.log")
+    d = tempfile.mkdtemp(prefix="grove_jdbc_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id")
+        .where(F.col("event_id") < 2000)
+    )
+    (
+        ev.repartition(2)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events_t")
+        .mode("overwrite")
+        .save()
+    )
+    scanned = jdbc_pull_scan(
+        spark,
+        url,
+        'SELECT "event_id", CAST("event_type" AS VARCHAR(64)) AS "event_type",'
+        ' "user_id" FROM events_t',
+        "event_id",
+        watermark="499",
+        pointer_kind="sequence",
+        partition_col='"event_id"',
+        bounds=(500, 2000),
+        num_partitions=4,
+    )
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+    )
+
+
+SQL_JDBC_PULL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM events WHERE event_id > 499 AND event_id < 2000
+GROUP BY event_type
+"""
+
+
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan through the production reader: events are
+    materialized as real ORC files (task-parallel write, zstd), then
+    orc_log_scan re-reads them with a typed watermark that pushes into
+    the ORC stripe stats."""
+    import tempfile
+
+    from grove_spark.sources.scans import orc_log_scan
+
+    d = tempfile.mkdtemp(prefix="grove_orc_scan_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.write.mode("overwrite").option("compression", "zstd").orc(d)
+    scanned = orc_log_scan(spark, d, "event_id", watermark="499")
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+    )
+
+
+SQL_ORC_SCAN = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS first_id
+FROM events WHERE event_id > 499
+GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "jdbc_pull": q_jdbc_pull,
+    "orc_scan": q_orc_scan,
+})
+ORACLE.update({
+    "jdbc_pull": SQL_JDBC_PULL,
+    "orc_scan": SQL_ORC_SCAN,
+})

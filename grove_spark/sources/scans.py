@@ -120,6 +120,26 @@ def ndjson_scan(
     return df
 
 
+def orc_log_scan(
+    spark: SparkSession,
+    path: str,
+    pointer_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """ORC log scan — the columnar sibling of the parquet scan for lake
+    layouts that standardized on ORC (Spark's reader is built in; jars/
+    orc-core). ORC files carry their schema, so unlike CSV/NDJSON there
+    is no inference double-read; the typed watermark predicate lands in
+    the ORC reader's PushedFilters exactly like parquet (min/max stripe
+    stats skip whole stripes at scale)."""
+    from grove_spark.operators.dedup import watermark_literal
+
+    df = spark.read.orc(path)
+    if pointer_col and watermark is not None:
+        df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
+    return df
+
+
 def config_scan(spark: SparkSession, path: str) -> DataFrame:
     """Connector-config scan (S10 — configs/local_file.py:55-78): JSON
     documents -> a dimension DataFrame to broadcast-enrich with. Disabled
@@ -149,23 +169,56 @@ def jdbc_pull_scan(
     num_partitions: int = 8,
     partition_col: Optional[str] = None,
     bounds: Optional[tuple] = None,
+    pointer_kind: str = "cursor",
+    quote_char: str = '"',
     **options,
 ):
     """SQL pull scan (S5 — snowflake/query_history.py:15-24): the
     parameterized `WHERE ptr > %(pointer)s` becomes a pushed dbtable
     subquery; `batch_size` flushing becomes partitioned parallel reads.
-    Requires a JDBC driver on the classpath (not present in sandbox).
+    Executed for real against the embedded Derby driver Spark ships
+    (tests/test_sources.py, gate row ``jdbc_pull``); any other JDBC
+    driver on the classpath works the same way.
 
-    The watermark is quote-escaped and the pointer column validated as a
-    bare identifier before embedding — run-state values can in principle
-    be attacker-influenced (stored pointer from a scraped API)."""
+    ``pointer_kind`` uses the registry vocabulary (registry.py:39):
+    ``sequence`` embeds an unquoted numeric literal (a quoted '49'
+    against a BIGINT column is a type error on Derby/Postgres and a
+    string comparison — wrong ordering — on lax engines), ``timestamp``/
+    ``date`` emit typed ANSI literals, ``cursor`` stays a quoted string.
+    The pointer identifier itself is quoted with ``quote_char`` because
+    Spark's JDBC writer creates case-sensitive quoted columns (an
+    unquoted ``event_id`` upper-cases to a missing ``EVENT_ID``).
+
+    The watermark is validated/escaped and the pointer column validated
+    as a bare identifier before embedding — run-state values can in
+    principle be attacker-influenced (stored pointer from a scraped
+    API)."""
     if not pointer_col.replace("_", "").isalnum():
         raise ValueError(f"pointer_col must be a bare identifier: {pointer_col!r}")
+    pred = None
     if watermark is not None:
-        watermark = str(watermark).replace("'", "''")
-    sub = f"(SELECT * FROM ({query}) t" + (
-        f" WHERE {pointer_col} > '{watermark}') s" if watermark else ") s"
-    )
+        s = str(watermark)
+        if pointer_kind == "sequence":
+            try:
+                float(s)
+            except ValueError as err:
+                raise ValueError(
+                    f"sequence watermark {s!r} is not numeric — refusing to "
+                    "embed it as a SQL literal"
+                ) from err
+            lit = s
+        elif pointer_kind in ("timestamp", "date"):
+            import datetime as dt
+
+            dt.datetime.fromisoformat(s.replace("Z", "+00:00").replace(" ", "T"))
+            # ANSI literal form: space separator, no trailing Z (Derby
+            # rejects the ISO 'T' form inside TIMESTAMP '...').
+            ansi = s.replace("T", " ").removesuffix("Z")
+            lit = f"{pointer_kind.upper()} '{ansi}'"
+        else:
+            lit = "'" + s.replace("'", "''") + "'"
+        pred = f"{quote_char}{pointer_col}{quote_char} > {lit}"
+    sub = f"(SELECT * FROM ({query}) t" + (f" WHERE {pred}) s" if pred else ") s")
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", sub)
     if partition_col and bounds:
         reader = (

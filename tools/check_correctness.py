@@ -47,7 +47,7 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = ""):
     import __spark_entry__ as entrymod
     from grove_spark.session import get_spark
 
@@ -59,6 +59,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracle = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = []
     for name, fn in qs.items():
         try:
