@@ -143,3 +143,85 @@ def dedup_by_pointer(
     wm = watermark_literal(df, pointer_col, pointer)
     col = F.col(pointer_col)
     return df.where(col >= wm if inclusive else col > wm)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_count: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Cross-corpus line-level dedup (the CCNet/MassiveText pass that
+    document-level dedup misses): a line whose exact text appears in
+    >= ``min_count`` documents corpus-wide is boilerplate (nav bars,
+    cookie banners, license headers) and is dropped from EVERY document
+    (``keep='none'``) or from all but its first occurrence by
+    (doc, position) order (``keep='first'``).
+
+    Plan shape at 100 TB: lines are counted by a 64-bit xxhash64 (never
+    shuffling the line text for the count), the duplicated-hash set —
+    typically orders of magnitude smaller than the line count — is
+    anti-joined back (AQE broadcasts it when small), and documents are
+    reassembled with one grouped sort over (pos, line). Hash collisions
+    across distinct lines are possible in principle (64-bit space) and
+    would only over-drop; at Web scale that risk is the standard
+    trade for not shuffling raw text twice.
+
+    Returns one row per input document: ``id_col``, ``n_lines``,
+    ``n_kept``, ``text_kept`` (empty string when every line was
+    boilerplate — the caller decides whether to drop empty docs).
+    """
+    import re as _re
+
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first': {keep!r}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delimiter))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("lh", F.xxhash64("line"))
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("c"))
+    dup = counts.where(F.col("c") >= min_count)
+    if keep == "none":
+        kept = lines.join(dup.select("lh"), "lh", "left_anti")
+    else:
+        first = (
+            lines.join(dup.select("lh"), "lh", "left_semi")
+            .groupBy("lh")
+            .agg(F.min(F.struct(id_col, "pos")).alias("f"))
+            .select("lh", F.col(f"f.{id_col}").alias("__fid"), F.col("f.pos").alias("__fpos"))
+        )
+        kept = (
+            lines.join(first, "lh", "left")
+            .where(
+                F.col("__fid").isNull()
+                | ((F.col(id_col) == F.col("__fid")) & (F.col("pos") == F.col("__fpos")))
+            )
+            .drop("__fid", "__fpos")
+        )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            delimiter,
+        ).alias("text_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), _re.escape(delimiter))).cast("bigint").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

@@ -2174,3 +2174,210 @@ ORACLE.update({
     "jdbc_pull": SQL_JDBC_PULL,
     "orc_scan": SQL_ORC_SCAN,
 })
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LINE-level dedup (CCNet/MassiveText boilerplate
+    pass): documents are reshaped into 5-word lines, every doc_id%20==0
+    doc gets the same planted boilerplate banner line, and dedup_lines
+    drops every line whose exact text appears in >=2 docs corpus-wide
+    (the planted banner plus any natural 5-gram collisions — both
+    engines see identical text, so they agree on those too)."""
+    from grove_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.ceil(F.size(ws) / F.lit(5)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda g: F.array_join(F.slice(ws, g * F.lit(5) + 1, 5), " "),
+    )
+    text_nl = F.array_join(lines_arr, "\n")
+    text_nl = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(F.lit("all rights reserved cookie banner\n"), text_nl),
+    ).otherwise(text_nl)
+    shaped = docs.select("doc_id", text_nl.alias("text"))
+    return dedup_lines(shaped, min_count=2, keep="none")
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+nat AS (
+  SELECT doc_id,
+         g + CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS pos,
+         array_to_string(ws[g*5+1 : g*5+5], ' ') AS line
+  FROM base, LATERAL (SELECT unnest(generate_series(0,
+       CAST(ceil(len(ws) / 5.0) AS BIGINT) - 1)) AS g) t),
+boiler AS (SELECT doc_id, 0 AS pos, 'all rights reserved cookie banner' AS line
+           FROM base WHERE doc_id % 20 = 0),
+lines AS (SELECT * FROM nat UNION ALL SELECT * FROM boiler),
+cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, l.pos, l.line
+         FROM lines l JOIN cnt USING (line) WHERE c < 2),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_kept, '') AS text_kept
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+
+QUERIES.update({"line_dedup": q_line_dedup})
+ORACLE.update({"line_dedup": SQL_LINE_DEDUP})
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: each document gets a deterministic messy
+    prefix (uppercase, accents, punctuation, whitespace runs) and
+    normalize_text_expr restores a canonical form. The oracle applies
+    the same lower/translate/regexp chain in DuckDB (same accent table,
+    RE2 'g' flag) — text must be byte-identical."""
+    from grove_spark.functions.text import normalize_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  Caffé!!  NAÏVE, École-d'été;;\t"),
+        F.upper(F.substring("text", 1, 60)),
+        F.lit("   ñoño...  "),
+    )
+    norm = normalize_text_expr(messy)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+WITH messy AS (
+  SELECT doc_id,
+         '  Caffé!!  NAÏVE, École-d''été;;' || chr(9) ||
+         upper(substring(text, 1, 60)) || '   ñoño...  ' AS m
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             translate(lower(m), 'àáâãäåèéêëìíîïòóôõöùúûüçñýÿ',
+                                 'aaaaaaeeeeiiiiooooouuuucnyy'),
+             '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS norm_text
+  FROM messy)
+SELECT doc_id, norm_text,
+       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens
+FROM norm
+"""
+
+
+QUERIES.update({"normalize_text": q_normalize_text})
+ORACLE.update({"normalize_text": SQL_NORMALIZE_TEXT})
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Catalyst session windows (the zero-Python sibling of the
+    applyInPandasWithState sessionizer): per-user sessions with a
+    30-minute inactivity gap. Spark merges events whose gap is < 30 min
+    (window end = last event + gap, end-exclusive), so the oracle starts
+    a new session when the gap is >= 30 min. One shuffle on user_id,
+    sessions assembled inside the aggregate — no window-function pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("_first"),
+            F.max("ts").alias("_last"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("_first").cast("timestamp")).alias("first_us"),
+            F.unix_micros(F.col("_last").cast("timestamp")).alias("last_us"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       epoch_us(min(ts)) AS first_us,
+       epoch_us(max(ts)) AS last_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES.update({"session_window": q_session_window})
+ORACLE.update({"session_window": SQL_SESSION_WINDOW})
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with SLIDING windows (2-hour windows sliding
+    every hour): each event contributes to exactly two windows. Same
+    availableNow drain as stream_tumbling; the oracle materializes both
+    window starts per event arithmetically (floor-to-hour and the hour
+    before) and aggregates."""
+    import os
+    import tempfile
+
+    ev_schema = _t(spark, sf_dir, "events").schema
+    name = "stream_sliding_gate"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"grove_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("win_us"),
+        "event_type",
+        "n_rows",
+    )
+
+
+SQL_STREAM_SLIDING = """
+WITH w AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts) - INTERVAL (o) HOUR) AS win_us
+  FROM events, LATERAL (SELECT unnest([0, 1]) AS o) t)
+SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM w GROUP BY win_us, event_type
+"""
+
+
+QUERIES.update({"stream_sliding": q_stream_sliding})
+ORACLE.update({"stream_sliding": SQL_STREAM_SLIDING})

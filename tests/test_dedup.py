@@ -113,3 +113,28 @@ def test_dedup_by_hash_boundary_state(spark):
 def test_dedup_within_batch(spark):
     df = spark.createDataFrame(PAGE1 + PAGE1, schema=SCHEMA)
     assert dedup_within_batch(df, ["timestamp", "event"]).count() == 4
+
+
+def test_dedup_lines_none_and_first(spark):
+    rows = [
+        (1, "keep me\nshared banner\nunique one"),
+        (2, "shared banner\nunique two"),
+        (3, "shared banner"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    from grove_spark.operators.dedup import dedup_lines
+
+    out = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 2
+    assert out[1].text_kept == "keep me\nunique one"
+    # doc 3 was ALL boilerplate: still emitted, empty text
+    assert out[3].n_kept == 0 and out[3].text_kept == ""
+
+    first = {r.doc_id: r for r in dedup_lines(docs, keep="first").collect()}
+    # first occurrence by (doc_id, pos): doc 1 keeps the banner
+    assert first[1].text_kept == "keep me\nshared banner\nunique one"
+    assert first[2].text_kept == "unique two"
+    assert first[3].n_kept == 0
+
+    with pytest.raises(ValueError):
+        dedup_lines(docs, keep="all")

@@ -128,3 +128,36 @@ def test_manifest_sink_exactly_once(spark, fixture_dir, tmp_path):
     replay_df = spark.read.parquet(state.committed_paths()[0])
     manifest_sink(state, out, key="stream.test")(replay_df, 0)
     assert len(state.committed_paths()) == n_commits
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark drops
+    re-deliveries of the same event id arriving within the watermark
+    delay — the streaming twin of D1's batch content-hash dedup, with
+    state that expires instead of growing forever."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00") for i in range(100)],
+        "event_id bigint, ts_s string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    # write the batch TWICE: every event is delivered twice
+    base.write.mode("append").parquet(src)
+    base.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "stream_dedup_wm"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
