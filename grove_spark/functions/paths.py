@@ -169,13 +169,29 @@ def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
     return F.slice(col, start + F.lit(1), length)
 
 
-def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
+def _compile_tokens(
+    toks: List[Tuple[str, object]], col: Column, dtype: T.DataType | None = None
+) -> Column:
     """Apply tokens to ``col``. A wildcard, slice or filter maps the
     REMAINDER of the path over every element (JMESPath projection
-    ``a[*].b``, ``a[1:3].b``, ``a[?x == 'y'].b`` -> list of b)."""
+    ``a[*].b``, ``a[1:3].b``, ``a[?x == 'y'].b`` -> list of b).
+
+    ``dtype`` (when the caller knows the starting type) is walked along
+    the same transitions as resolve_type so filter expressions see their
+    element's StructType — that is what unlocks bare-path / function /
+    boolean filters, which cannot compile without type information."""
     for t, (kind, v) in enumerate(toks):
         if kind == "field":
             col = col.getField(v)
+            if isinstance(dtype, T.MapType):
+                dtype = dtype.valueType
+            elif isinstance(dtype, T.StructType):
+                try:
+                    dtype = dtype[v].dataType
+                except KeyError:
+                    dtype = None
+            else:
+                dtype = None
         elif kind == "index":
             if v >= 0:
                 # F.get, not getItem: out-of-bounds yields NULL (JMESPath
@@ -186,46 +202,150 @@ def _compile_tokens(toks: List[Tuple[str, object]], col: Column) -> Column:
                 # yields NULL when it falls off (plain element_at throws
                 # INVALID_ARRAY_INDEX_IN_ELEMENT_AT in Spark 4)
                 col = F.try_element_at(col, F.lit(v))
+            dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
         else:  # wildcard / slice / filter projection
+            elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
             if kind == "slice":
                 col = _slice_col(col, *v)
             elif kind == "filt":
-                col = _filter_col(col, v)
+                col = _filter_col(col, v, elem)
             rest = toks[t + 1:]
-            return F.transform(col, lambda x: _compile_tokens(rest, x))
+            return F.transform(col, lambda x: _compile_tokens(rest, x, elem))
     return col
 
 
-def _filter_col(col: Column, expr_str: str) -> Column:
-    """JMESPath filter projection ``[?path <op> literal]`` as F.filter.
+def _split_top2(s: str, op: str) -> List[str]:
+    """Split on a two-character operator at nesting depth 0, outside
+    quotes (a literal ``'a && b'`` must not split)."""
+    out: List[str] = []
+    cur: List[str] = []
+    depth, quote, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(depth - 1, 0)
+        elif depth == 0 and s[i:i + 2] == op:
+            out.append("".join(cur))
+            cur = []
+            i += 2
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [x.strip() for x in out]
 
-    A comparison over a null element value is null -> element dropped,
-    matching jmespath (null comparand is not truthy). Bare-path /
-    function filter expressions need element type information Catalyst
-    lambdas don't carry — unsupported, loudly."""
-    m = _CMP_RE.match(expr_str.strip())
-    if not m:
+
+def _outer_parens(s: str) -> bool:
+    """True when s is one ``( ... )`` group (the opener at 0 closes at
+    the very end) — safe to strip."""
+    depth, quote = 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
+def _filter_pred(x: Column, expr_str: str, elem_dtype: T.DataType | None) -> Column:
+    """Compile a JMESPath filter expression into a boolean Column over
+    element ``x``: ``||`` / ``&&`` / ``!`` / parens / comparisons /
+    bare-path-or-function truthiness. Every leaf is coalesced to False so
+    three-valued logic cannot leak (jmespath: null is plain falsy, and
+    ``!null`` must be TRUE — Spark's ``~null`` would stay null)."""
+    s = expr_str.strip()
+    if not s:
+        raise ValueError("empty filter expression")
+    for op in ("||", "&&"):
+        parts = _split_top2(s, op)
+        if len(parts) > 1:
+            if any(not p for p in parts):
+                raise ValueError(f"dangling {op} in filter expression [?{expr_str}]")
+            preds = [_filter_pred(x, p, elem_dtype) for p in parts]
+            out = preds[0]
+            for p in preds[1:]:
+                out = (out | p) if op == "||" else (out & p)
+            return out
+    if s.startswith("!") and not s.startswith("!="):
+        return ~_filter_pred(x, s[1:], elem_dtype)
+    if s.startswith("(") and _outer_parens(s):
+        return _filter_pred(x, s[1:-1], elem_dtype)
+    m = _CMP_RE.match(s)
+    if m:
+        left = m.group("path").strip()
+        value = _parse_literal(m.group("lit"))
+        if isinstance(elem_dtype, T.StructType):
+            sub = compile_expr(elem_dtype, left, base=x)
+            lcol = sub[0] if sub is not None else F.lit(None)
+        else:
+            lcol = _compile_tokens(_tokens(left), x)
+        return F.coalesce(_apply_cmp(lcol, m.group("op"), value), F.lit(False))
+    # bare path / function call: truthiness needs the element's type
+    if not isinstance(elem_dtype, T.StructType):
         raise ValueError(
             f"unsupported filter expression [?{expr_str}]: only "
-            "'path <op> literal' comparisons compile"
+            "'path <op> literal' comparisons compile without element type "
+            "information (compile through a schema-aware entry point for "
+            "bare-path / function filters)"
         )
-    inner = _tokens(m.group("path").strip())
-    value = _parse_literal(m.group("lit"))
-    op = m.group("op")
-    return F.filter(col, lambda x: _apply_cmp(_compile_tokens(inner, x), op, value))
+    sub = compile_expr(elem_dtype, s, base=x)
+    if sub is None:
+        return F.lit(False)
+    return F.coalesce(truthy(sub[0], sub[1]), F.lit(False))
 
 
-def path_col(path: str) -> Column:
+def _filter_col(
+    col: Column, expr_str: str, elem_dtype: T.DataType | None = None
+) -> Column:
+    """JMESPath filter projection ``[?expr]`` as F.filter.
+
+    Comparisons compile with or without type information. Bare-path /
+    function truthiness and the boolean combinators need the element's
+    StructType, which flows in when the path is compiled through
+    ``path_col(schema=...)`` / ``compile_expr`` — the schema-less
+    ``path_col(path)`` form keeps the comparison-only surface and raises
+    loudly beyond it."""
+    return F.filter(col, lambda x: _filter_pred(x, expr_str, elem_dtype))
+
+
+def path_col(path: str, schema: T.StructType | None = None) -> Column:
     """Compile a dotted path into a (possibly nested) column reference.
 
     List indexing compiles to ``getItem`` (JMESPath ``a[0].b`` is 0-based
     like getItem; Spark's element_at would be 1-based). A ``[*]``
     wildcard compiles to a ``transform`` projection — ``a[*].b`` yields
-    the array of every element's ``b`` (JMESPath list projection)."""
+    the array of every element's ``b`` (JMESPath list projection).
+
+    Pass ``schema`` to unlock type-needing filter expressions (bare-path
+    truthiness, functions, ``&&``/``||``/``!``) inside ``[?...]``."""
     toks = _tokens(path)
     kind, base = toks[0]
     col = F.col("`%s`" % str(base).replace("`", ""))
-    return _compile_tokens(toks[1:], col)
+    dtype: T.DataType | None = None
+    if isinstance(schema, T.StructType):
+        try:
+            dtype = schema[str(base)].dataType
+        except KeyError:
+            dtype = None
+    return _compile_tokens(toks[1:], col, dtype)
 
 
 def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
@@ -318,8 +438,19 @@ def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
     return s, "", ""
 
 
+def _expr_col(expr: str, schema: T.StructType, base: Column | None) -> Column:
+    """Path compile relative to ``base`` (a lambda element inside a
+    filter) or from the row root when base is None."""
+    if base is None:
+        return path_col(expr, schema)
+    return _compile_tokens(_tokens(expr), base, schema)
+
+
 def compile_expr(
-    schema: T.StructType, expr: str, quoted_is_field: bool = True
+    schema: T.StructType,
+    expr: str,
+    quoted_is_field: bool = True,
+    base: Column | None = None,
 ) -> Tuple[Column, T.DataType | None] | None:
     """Compile the JMESPath expression subset the reference's shipped
     configs draw on beyond bare paths (grove/processors/extract_paths.py:86
@@ -337,7 +468,7 @@ def compile_expr(
             k, sep, v = _partition_top(part, ":")
             if not sep:
                 return None
-            sub = compile_expr(schema, v)
+            sub = compile_expr(schema, v, base=base)
             if sub is None:
                 sub = (F.lit(None), None)
             name = k.strip().strip("'\"")
@@ -369,7 +500,7 @@ def compile_expr(
                     "precedence); double-quote it for a guaranteed "
                     "string literal", expr,
                 )
-                return path_col(expr), rt
+                return _expr_col(expr, schema, base), rt
         return F.lit(inner), T.StringType()
     if len(expr) >= 2 and expr[0] == expr[-1] == "`":
         import json as _json
@@ -384,7 +515,7 @@ def compile_expr(
     if m and "." not in m.group("fn"):
         fn, args = m.group("fn"), _split_top(m.group("args"))
         if fn == "length" and len(args) == 1:
-            sub = compile_expr(schema, args[0], quoted_is_field=False)
+            sub = compile_expr(schema, args[0], quoted_is_field=False, base=base)
             if sub is None:
                 return None
             col, t = sub
@@ -402,8 +533,8 @@ def compile_expr(
                 )
             raise ValueError(f"length() over {t} (invalid-type in jmespath)")
         if fn in ("contains", "starts_with", "ends_with") and len(args) == 2:
-            s1 = compile_expr(schema, args[0], quoted_is_field=False)
-            s2 = compile_expr(schema, args[1], quoted_is_field=False)
+            s1 = compile_expr(schema, args[0], quoted_is_field=False, base=base)
+            s2 = compile_expr(schema, args[1], quoted_is_field=False, base=base)
             if s1 is None or s2 is None:
                 return None
             (c1, t1), (c2, _) = s1, s2
@@ -423,7 +554,7 @@ def compile_expr(
     rt = resolve_type(schema, expr)
     if rt is None:
         return None
-    return path_col(expr), rt
+    return _expr_col(expr, schema, base), rt
 
 
 def _literal_type(v) -> T.DataType | None:

@@ -156,6 +156,18 @@ EXPRS = [
     "starts_with(outcome.result, 'FAIL')",
     "ends_with(outcome.result, 'ESS')",
     "{res: outcome.result, n: length(events)}",
+    # filter expressions: comparisons, bare-path truthiness, functions,
+    # boolean combinators, parens, negation
+    "events[?name == 'login'].name",
+    "events[?tags].name",
+    "events[?!tags].name",
+    "events[?contains(tags, 'c')].name",
+    "events[?name == 'login' || name == 'logout'].name",
+    "events[?name == 'login' && contains(tags, 'a')].name",
+    "events[?(name == 'read')].name",
+    "events[?!(name == 'read')].name",
+    "events[?length(tags) >= `2`].name",
+    "length(events[?tags])",
 ]
 
 
