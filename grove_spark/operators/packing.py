@@ -164,3 +164,72 @@ def repetition_signals(
             "is_repetitive"
         ),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: Dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Sample a training mixture to a token budget (the Dolma/RedPajama
+    mixing step): each source contributes ``weights[s]/sum(weights) *
+    token_budget`` tokens, derived from its ACTUAL token mass — sources
+    with more than their share are deterministically downsampled,
+    sources with less are upsampled with full epochs plus a fractional
+    sampled epoch (the output carries an ``epoch`` column so the trainer
+    can interleave).
+
+    Everything runs in Catalyst: the per-source token totals are a tiny
+    aggregate broadcast-joined back (never collected to the driver), the
+    rate arithmetic is plain DOUBLE ops an oracle engine reproduces
+    bit-for-bit, and row selection reuses stratified_sample's hash
+    (pmod-reduced Knuth multiply), so reruns and other engines pick the
+    SAME rows. Sources absent from ``weights`` contribute nothing.
+
+    At 100 TB: one partial-agg shuffle for the totals, a broadcast join,
+    and a narrow explode whose fan-out is the per-source epoch count —
+    no skewed shuffle (the explode multiplies rows evenly within each
+    source partition).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    tot = docs.groupBy(source_col).agg(
+        F.sum(token_col).cast("double").alias("__avail")
+    )
+    wexpr = None
+    for s, w in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        wexpr = F.when(cond, float(w)) if wexpr is None else wexpr.when(cond, float(w))
+    wexpr = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
+    dim = tot.select(
+        source_col,
+        ((wexpr / F.lit(wsum)) * F.lit(float(token_budget)) / F.col("__avail")).alias(
+            "__rate"
+        ),
+    ).select(
+        source_col,
+        F.floor("__rate").cast("int").alias("__copies"),
+        F.floor((F.col("__rate") - F.floor("__rate")) * F.lit(modulus))
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(modulus))
+        * F.lit(_KNUTH % modulus),
+        F.lit(modulus),
+    )
+    return (
+        docs.join(F.broadcast(dim), source_col)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies")))
+        )
+        .where((F.col("epoch") < F.col("__copies")) | (h < F.col("__thr")))
+        .drop("__copies", "__thr")
+    )

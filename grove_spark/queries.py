@@ -2381,3 +2381,62 @@ FROM w GROUP BY win_us, event_type
 
 QUERIES.update({"stream_sliding": q_stream_sliding})
 ORACLE.update({"stream_sliding": SQL_STREAM_SLIDING})
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling to a token budget: weights 4/1/0.25/2
+    over src0..src3 (src4 deliberately unweighted -> dropped), budget
+    30k tokens. Sources over their share downsample, sources under it
+    upsample with full epochs + a fractional hashed epoch. The oracle
+    replays the identical DOUBLE arithmetic and Knuth-hash row
+    selection."""
+    from grove_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = mixture_sample(
+        docs,
+        weights={"src0": 4.0, "src1": 1.0, "src2": 0.25, "src3": 2.0},
+        token_budget=30_000,
+    )
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+SQL_MIXTURE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS avail
+        FROM tok GROUP BY source),
+dim AS (
+  SELECT source,
+         CAST(floor(r) AS INT) AS copies,
+         CAST(floor((r - floor(r)) * 10000) AS BIGINT) AS thr
+  FROM (SELECT source,
+               (CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 1.0
+                            WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 2.0
+                            ELSE 0.0 END / 7.25) * 30000.0 / avail AS r
+        FROM tot) x),
+ex AS (
+  SELECT t.doc_id, t.source, t.n_tokens, g AS epoch, d.copies, d.thr
+  FROM tok t JOIN dim d USING (source),
+       LATERAL (SELECT unnest(generate_series(0, d.copies)) AS g) s),
+kept AS (
+  SELECT * FROM ex
+  WHERE epoch < copies
+     OR ((doc_id % 10000) * (2654435761 % 10000)) % 10000 < thr)
+SELECT source, epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM kept GROUP BY source, epoch
+"""
+
+
+QUERIES.update({"mixture": q_mixture})
+ORACLE.update({"mixture": SQL_MIXTURE})

@@ -1,5 +1,6 @@
 """Sequence packing, stratified sampling, repetition signals."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from grove_spark.operators.packing import (
@@ -79,3 +80,33 @@ def test_stratified_sample_signed_and_huge_ids(spark):
     assert abs(frac - 0.2) < 0.02, f"rate off: {frac}"
     neg_frac = kept.where("doc_id < 0").count() / n_neg
     assert abs(neg_frac - 0.2) < 0.03, f"negative ids sampled at {neg_frac}"
+
+
+def test_mixture_sample_up_down_and_absent(spark):
+    from grove_spark.operators.packing import mixture_sample
+
+    rows = [(i, "a" if i < 100 else "b" if i < 200 else "c", 10)
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    # budget 2000 tokens, weights a:3 b:1 (c unweighted -> dropped).
+    # avail per source = 1000 tokens. a's share = 1500 -> rate 1.5
+    # (1 full epoch + ~50% fractional); b's share = 500 -> rate 0.5.
+    out = mixture_sample(docs, {"a": 3.0, "b": 1.0}, 2000)
+    per = {r["source"]: r for r in
+           out.groupBy("source").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.max("epoch").alias("max_e")).collect()}
+    assert "c" not in per
+    assert per["a"]["max_e"] == 1 and 120 <= per["a"]["n"] <= 180
+    assert per["b"]["max_e"] == 0 and 30 <= per["b"]["n"] <= 70
+    # deterministic: rerun picks the same rows
+    again = mixture_sample(docs, {"a": 3.0, "b": 1.0}, 2000)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # plan: totals dim joins via broadcast, no driver collect needed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 1.0}, 0)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {}, 100)
