@@ -71,7 +71,7 @@ def quote_aware_split(path: str, delimiter: str = ".", quote: str = "'") -> List
     return [s for s, _ in _split_flagged(path, delimiter, quote)]
 
 
-_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*(?::-?\d*)?|\?[^\]]*)\]"
+_IDX_PART = r"\[(?:-?\d+|\*|-?\d*:-?\d*(?::-?\d*)?|\?[^\]]*|)\]"
 _INDEX_RE = re.compile(rf"^(?P<base>.*?)(?P<idx>({_IDX_PART})+)$")
 
 
@@ -85,7 +85,9 @@ def _split_indices(segment: str) -> Tuple[str, List]:
         return segment, []
     idxs: List = []
     for raw in re.findall(r"\[([^\]]*)\]", m.group("idx")):
-        if raw == "*":
+        if raw == "":
+            idxs.append("[]")
+        elif raw == "*":
             idxs.append("*")
         elif raw.startswith("?"):
             idxs.append(("?", raw[1:].strip()))
@@ -125,9 +127,12 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
                 f"unparseable index/filter syntax in path segment {part!r}; "
                 "quote the segment if the brackets are a literal field name"
             )
-        toks.append(("field", base))
+        if base or not idxs:
+            toks.append(("field", base))
         for i in idxs:
-            if i == "*":
+            if i == "[]":
+                toks.append(("flat", None))
+            elif i == "*":
                 toks.append(("wild", None))
             elif isinstance(i, tuple) and i[0] == "?":
                 toks.append(("filt", i[1]))
@@ -203,15 +208,47 @@ def _compile_tokens(
                 # INVALID_ARRAY_INDEX_IN_ELEMENT_AT in Spark 4)
                 col = F.try_element_at(col, F.lit(v))
             dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
-        else:  # wildcard / slice / filter projection
+        else:  # wildcard / slice / filter / flatten projection
             elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
             if kind == "slice":
                 col = _slice_col(col, *v)
             elif kind == "filt":
                 col = _filter_col(col, v, elem)
+            elif kind == "flat":
+                if dtype is None:
+                    raise ValueError(
+                        "[] flatten needs type information — compile "
+                        "through a schema-aware entry point "
+                        "(path_col(schema=...) / compile_expr)"
+                    )
+                if isinstance(elem, T.ArrayType):
+                    col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+                    elem = elem.elementType
             rest = toks[t + 1:]
-            return F.transform(col, lambda x: _compile_tokens(rest, x, elem))
+            return _project(col, rest, elem)
     return col
+
+
+def _project(col: Column, toks: List[Tuple[str, object]], elem: T.DataType | None) -> Column:
+    """Apply ``toks`` to a PROJECTED stream (``col`` is an array whose
+    elements each take the tokens). A top-level ``flat`` token applies to
+    the stream itself — jmespath's ``a[].b[]`` merges every element's
+    ``b`` into ONE list, so the per-element mapping stops at the flat,
+    the stream flattens one level (null results dropped, as a projection
+    drops them), and the remainder re-projects."""
+    k = next((i for i, (kind, _) in enumerate(toks) if kind == "flat"), None)
+    if k is None:
+        if not toks:
+            return col
+        return F.transform(col, lambda x: _compile_tokens(toks, x, elem))
+    before, after = toks[:k], toks[k + 1:]
+    if before:
+        col = F.transform(col, lambda x: _compile_tokens(before, x, elem))
+        elem = _walk_type(elem, before) if elem is not None else None
+    if isinstance(elem, T.ArrayType):
+        col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+        elem = elem.elementType
+    return _project(col, after, elem)
 
 
 def _split_top2(s: str, op: str) -> List[str]:
@@ -348,37 +385,63 @@ def path_col(path: str, schema: T.StructType | None = None) -> Column:
     return _compile_tokens(toks[1:], col, dtype)
 
 
+def _walk_type(
+    current: T.DataType | None, toks: List[Tuple[str, object]]
+) -> T.DataType | None:
+    """Type twin of _compile_tokens: walk ``toks`` from ``current``;
+    None when the path doesn't resolve. Projections yield
+    ArrayType(remainder); a flat token follows _project's stream
+    semantics (one level un-nested before the remainder re-projects)."""
+    i = 0
+    while i < len(toks):
+        kind, v = toks[i]
+        if kind == "field":
+            if isinstance(current, T.MapType):
+                current = current.valueType
+            elif isinstance(current, T.StructType):
+                try:
+                    current = current[v].dataType
+                except KeyError:
+                    return None
+            else:
+                return None
+        elif kind == "index":
+            if not isinstance(current, T.ArrayType):
+                return None
+            current = current.elementType
+        else:  # wild / slice / filt / flat: project the remainder
+            if not isinstance(current, T.ArrayType):
+                return None
+            elem = current.elementType
+            if kind == "flat" and isinstance(elem, T.ArrayType):
+                elem = elem.elementType
+            return _project_type(elem, toks[i + 1:])
+        i += 1
+    return current
+
+
+def _project_type(
+    elem: T.DataType | None, toks: List[Tuple[str, object]]
+) -> T.DataType | None:
+    """Result type of _project over a stream of ``elem`` elements."""
+    k = next((i for i, (kind, _) in enumerate(toks) if kind == "flat"), None)
+    if k is None:
+        inner = _walk_type(elem, toks) if toks else elem
+        return T.ArrayType(inner) if inner is not None else None
+    before, after = toks[:k], toks[k + 1:]
+    if before:
+        elem = _walk_type(elem, before)
+        if elem is None:
+            return None
+    if isinstance(elem, T.ArrayType):
+        elem = elem.elementType
+    return _project_type(elem, after)
+
+
 def resolve_type(schema: T.StructType, path: str) -> T.DataType | None:
     """Walk ``schema`` along ``path``; None if the path doesn't resolve.
     A ``[*]`` projection yields ArrayType(of the projected remainder)."""
-    toks = _tokens(path)
-
-    def walk(current: T.DataType, i: int) -> T.DataType | None:
-        while i < len(toks):
-            kind, v = toks[i]
-            if kind == "field":
-                if isinstance(current, T.MapType):
-                    current = current.valueType
-                elif isinstance(current, T.StructType):
-                    try:
-                        current = current[v].dataType
-                    except KeyError:
-                        return None
-                else:
-                    return None
-            elif kind == "index":
-                if not isinstance(current, T.ArrayType):
-                    return None
-                current = current.elementType
-            else:  # wildcard / slice: both project the remainder per element
-                if not isinstance(current, T.ArrayType):
-                    return None
-                inner = walk(current.elementType, i + 1)
-                return T.ArrayType(inner) if inner is not None else None
-            i += 1
-        return current
-
-    return walk(schema, 0)
+    return _walk_type(schema, _tokens(path))
 
 
 # ---------------------------------------------------------------------------
@@ -438,6 +501,41 @@ def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
     return s, "", ""
 
 
+def _split_pipe(s: str) -> List[str]:
+    """Split on single ``|`` (the jmespath pipe) at depth 0 outside
+    quotes; ``||`` passes through untouched."""
+    out: List[str] = []
+    cur: List[str] = []
+    depth, quote, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(depth - 1, 0)
+        elif ch == "|" and depth == 0:
+            if s[i + 1:i + 2] == "|":
+                cur.append("||")
+                i += 2
+                continue
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [x.strip() for x in out]
+
+
 def _expr_col(expr: str, schema: T.StructType, base: Column | None) -> Column:
     """Path compile relative to ``base`` (a lambda element inside a
     filter) or from the row root when base is None."""
@@ -461,6 +559,22 @@ def compile_expr(
     None when the expression does not resolve against ``schema``
     (jmespath.search would return None)."""
     expr = expr.strip()
+    # pipe: evaluate the LHS fully (stopping any projection), then apply
+    # the RHS — paths and bracket ops — to the RESULT. ``a[*].b | [0]``
+    # is the first projected b, not a per-element [0].
+    pipe_parts = _split_pipe(expr)
+    if len(pipe_parts) > 1:
+        if any(not p for p in pipe_parts):
+            raise ValueError(f"empty pipe segment in {expr!r}")
+        sub = compile_expr(schema, pipe_parts[0], quoted_is_field, base)
+        if sub is None:
+            return None
+        col, dt = sub
+        for rhs in pipe_parts[1:]:
+            rtoks = _tokens(rhs)
+            col = _compile_tokens(rtoks, col, dt)
+            dt = _walk_type(dt, rtoks)
+        return col, dt
     # multiselect-hash {a: expr, b: expr}
     if expr.startswith("{") and expr.endswith("}"):
         fields, ftypes = [], []

@@ -168,6 +168,16 @@ EXPRS = [
     "events[?!(name == 'read')].name",
     "events[?length(tags) >= `2`].name",
     "length(events[?tags])",
+    # flatten projections and pipes
+    "events[].name",
+    "events[].tags",
+    "events[].tags[]",
+    "events[*].tags[]",
+    "events[?name == 'login'].tags[]",
+    "events[*].name | [0]",
+    "events[*].name | [0:1]",
+    "events[?tags] | [0].name",
+    "length(events[].tags[])",
 ]
 
 
