@@ -292,3 +292,142 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000, blob_col: str = "blob
         df.where(F.col("media_meta.kind") == "video")
         .withColumn("frame_ms", F.explode(ts))
     )
+
+
+def encode_png(img: np.ndarray, filter_mode: str = "mixed") -> bytes:
+    """Encode (h, w) gray8 or (h, w, 3) rgb8 as a real PNG (zlib is in
+    the stdlib — PNG needs no external codec). ``filter_mode``:
+    ``'none'`` writes filter 0 rows; ``'mixed'`` cycles filters
+    0..4 by row (None/Sub/Up/Average/Paeth) so a decoder must implement
+    every unfilter to round-trip the bytes."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    bpp = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2}[bpp]
+    flat = img.reshape(h, w * bpp).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        line = flat[y]
+        a = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+        b = prev
+        c = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        ft = (y % 5) if filter_mode == "mixed" else 0
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - a
+        elif ft == 2:
+            enc = line - b
+        elif ft == 3:
+            enc = line - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = line - pred
+        raw += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode a real (non-interlaced, 8-bit gray or RGB) PNG with pure
+    numpy + stdlib zlib: walk the chunk stream (CRC-checked), inflate the
+    IDATs, and invert all five scanline filters. Sub/Up invert as
+    vectorized mod-256 cumulative sums; Average/Paeth carry a true
+    per-pixel dependency and run as a per-pixel lane loop (inherent to
+    the format, bounded by the image size). Returns (h, w) or (h, w, 3)
+    uint8."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG layout depth={depth} color={color} "
+            f"interlace={interlace} (8-bit gray/RGB non-interlaced only)"
+        )
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: additive along each bpp lane -> cumsum mod 256
+            cur = np.cumsum(line.reshape(w, bpp), axis=0) % 256
+            cur = cur.reshape(stride)
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: true sequential dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            lanes = line.reshape(w, bpp)
+            cur2 = cur.reshape(w, bpp)
+            prev2 = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = prev2[x]
+                if ft == 3:
+                    pred = (left + b) >> 1
+                else:
+                    p = left + b - upleft
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                    )
+                cur2[x] = (lanes[x] + pred) % 256
+                left = cur2[x]
+                upleft = b
+            cur = cur2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)

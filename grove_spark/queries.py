@@ -2440,3 +2440,67 @@ FROM kept GROUP BY source, epoch
 
 QUERIES.update({"mixture": q_mixture})
 ORACLE.update({"mixture": SQL_MIXTURE})
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, no stub (stdlib zlib + numpy): per doc a gray8
+    PNG of varying size (w = 5 + doc_id%4, h = 6 + doc_id%3) with pixel
+    (x,y) = (x*11 + y*5 + doc_id) % 256, encoded with MIXED row filters
+    (None/Sub/Up/Average/Paeth cycling) so every unfilter path runs,
+    then decoded back inside Arrow-batched kernels; the oracle recomputes
+    the integer pixel stats arithmetically."""
+    import numpy as np
+    import pandas as pd
+
+    from grove_spark.operators.multimodal import decode_png, encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 6 + did % 3
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((x * 11 + y * 5 + did) % 256).astype(np.uint8)
+                blobs.append(encode_png(img, "mixed"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "w": [], "h": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for blob in pdf["blob"]:
+                img = decode_png(bytes(blob)).astype(np.int64)
+                out["h"].append(img.shape[0]); out["w"].append(img.shape[1])
+                out["px_sum"].append(int(img.sum()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(enc, "doc_id long, blob binary")
+    return blobs.mapInPandas(
+        dec, "doc_id long, w int, h int, px_sum long, px_min int, px_max int"
+    )
+
+
+SQL_PNG_DECODE = """
+WITH dim AS (
+  SELECT doc_id,
+         5 + doc_id % 4 AS w,
+         6 + doc_id % 3 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((i % d.w) * 11 + (i // d.w) * 5 + d.doc_id) % 256 AS v
+  FROM dim d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS i) t)
+SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min,
+       CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+QUERIES.update({"png_decode": q_png_decode})
+ORACLE.update({"png_decode": SQL_PNG_DECODE})
