@@ -2504,3 +2504,33 @@ FROM px GROUP BY doc_id, w, h
 
 QUERIES.update({"png_decode": q_png_decode})
 ORACLE.update({"png_decode": SQL_PNG_DECODE})
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes for the file-layout operator: interleave
+    the low 10 bits of (user_id % 1024, event_id % 1024) in codegen.
+    The oracle recomputes the interleave arithmetically — any bit-
+    position error breaks every value."""
+    from grove_spark.operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.pmod(F.col("event_id"), F.lit(1024))
+    return ev.select(
+        "event_id",
+        zorder_value([x, y], bits=10).cast("bigint").alias("zval"),
+    )
+
+
+SQL_ZORDER = """
+SELECT e.event_id,
+       CAST(sum(((((e.user_id % 1024) + 1024) % 1024) // (1 << i)) % 2
+                  * (CAST(1 AS BIGINT) << (2 * i))
+              + ((((e.event_id % 1024) + 1024) % 1024) // (1 << i)) % 2
+                  * (CAST(1 AS BIGINT) << (2 * i + 1))) AS BIGINT) AS zval
+FROM events e, LATERAL (SELECT unnest(generate_series(0, 9)) AS i) t
+GROUP BY e.event_id
+"""
+
+
+QUERIES.update({"zorder": q_zorder})
+ORACLE.update({"zorder": SQL_ZORDER})

@@ -161,3 +161,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.table(name)
     assert got.count() == 100
     assert got.select("event_id").distinct().count() == 100
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and an event-time
+    interval condition (the enrich-by-recent-context pattern): clicks
+    join impressions within [0, 10 min]. availableNow drains both sides;
+    the batch twin is the oracle."""
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imps = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 50:02d}:00") for i in range(100)],
+        "ad_id bigint, ts_s string",
+    ).selectExpr("ad_id", "CAST(ts_s AS TIMESTAMP) AS imp_ts")
+    clicks = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{(i % 50) + 5:02d}:30") for i in range(0, 100, 3)],
+        "ad_id bigint, ts_s string",
+    ).selectExpr("ad_id", "CAST(ts_s AS TIMESTAMP) AS clk_ts")
+    imps.write.parquet(imp_dir)
+    clicks.write.parquet(clk_dir)
+
+    def joined(left, right):
+        return left.join(
+            right,
+            F.expr(
+                "i.ad_id = c.ad_id AND clk_ts >= imp_ts "
+                "AND clk_ts <= imp_ts + INTERVAL 10 MINUTES"
+            ),
+        )
+
+    batch = joined(imps.alias("i"), clicks.alias("c")).count()
+
+    s_imp = (
+        spark.readStream.schema("ad_id bigint, imp_ts timestamp")
+        .parquet(imp_dir).withWatermark("imp_ts", "1 hour").alias("i")
+    )
+    s_clk = (
+        spark.readStream.schema("ad_id bigint, clk_ts timestamp")
+        .parquet(clk_dir).withWatermark("clk_ts", "1 hour").alias("c")
+    )
+    q = (
+        joined(s_imp, s_clk)
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("ss_join").count() == batch > 0
