@@ -78,13 +78,39 @@ _INDEX_RE = re.compile(rf"^(?P<base>.*?)(?P<idx>({_IDX_PART})+)$")
 def _split_indices(segment: str) -> Tuple[str, List]:
     """``"params[0][1]"`` -> ``("params", [0, 1])``; ``"events[*]"`` ->
     ``("events", ["*"])``; ``"events[1:3]"`` -> slices;
-    ``"events[?name == 'x']"`` -> filter expressions; no-index segments
-    pass through unchanged."""
-    m = _INDEX_RE.match(segment)
-    if not m or not m.group("idx"):
+    ``"events[?name == 'x']"`` -> filter expressions (nested brackets and
+    quoted literals inside the filter are honoured — a quote/bracket-
+    aware scanner, not a regex); no-index segments pass through
+    unchanged. Malformed bracket syntax (trailing characters, unbalanced
+    brackets) returns the segment untouched so _tokens raises its
+    established loud error."""
+    i = segment.find("[")
+    if i < 0:
         return segment, []
-    idxs: List = []
-    for raw in re.findall(r"\[([^\]]*)\]", m.group("idx")):
+    base, idxs, pos = segment[:i], [], i
+    while pos < len(segment):
+        if segment[pos] != "[":
+            return segment, []  # trailing garbage after a bracket group
+        depth, quote, end = 0, None, -1
+        j = pos
+        while j < len(segment):
+            ch = segment[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"`":
+                quote = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+            j += 1
+        if end < 0:
+            return segment, []  # unbalanced brackets
+        raw = segment[pos + 1:end]
         if raw == "":
             idxs.append("[]")
         elif raw == "*":
@@ -102,8 +128,12 @@ def _split_indices(segment: str) -> Tuple[str, List]:
                     "[a:b:s] does not)"
                 ) from None
         else:
-            idxs.append(int(raw))
-    return m.group("base"), idxs
+            try:
+                idxs.append(int(raw))
+            except ValueError:
+                return segment, []  # not an index form -> loud via _tokens
+        pos = end + 1
+    return base, idxs
 
 
 def _tokens(path: str) -> List[Tuple[str, object]]:
@@ -302,6 +332,37 @@ def _outer_parens(s: str) -> bool:
     return False
 
 
+def _split_cmp(s: str) -> Tuple[str, str, str] | None:
+    """Find the top-level comparison operator (depth 0, outside quotes):
+    a regex would grab an ``==`` inside a NESTED filter's brackets."""
+    depth, quote, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            i += 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(depth - 1, 0)
+        elif depth == 0:
+            two = s[i:i + 2]
+            if two in ("==", "!=", ">=", "<="):
+                left, right = s[:i].strip(), s[i + 2:].strip()
+                return (left, two, right) if left and right else None
+            if ch in "<>":
+                left, right = s[:i].strip(), s[i + 1:].strip()
+                return (left, ch, right) if left and right else None
+        i += 1
+    return None
+
+
 def _filter_pred(x: Column, expr_str: str, elem_dtype: T.DataType | None) -> Column:
     """Compile a JMESPath filter expression into a boolean Column over
     element ``x``: ``||`` / ``&&`` / ``!`` / parens / comparisons /
@@ -325,16 +386,20 @@ def _filter_pred(x: Column, expr_str: str, elem_dtype: T.DataType | None) -> Col
         return ~_filter_pred(x, s[1:], elem_dtype)
     if s.startswith("(") and _outer_parens(s):
         return _filter_pred(x, s[1:-1], elem_dtype)
-    m = _CMP_RE.match(s)
+    m = _split_cmp(s)
     if m:
-        left = m.group("path").strip()
-        value = _parse_literal(m.group("lit"))
-        if isinstance(elem_dtype, T.StructType):
+        left, op, lit_raw = m
+        value = _parse_literal(lit_raw)
+        if left == "@":
+            lcol = x
+        elif isinstance(elem_dtype, T.StructType):
             sub = compile_expr(elem_dtype, left, base=x)
             lcol = sub[0] if sub is not None else F.lit(None)
         else:
             lcol = _compile_tokens(_tokens(left), x)
-        return F.coalesce(_apply_cmp(lcol, m.group("op"), value), F.lit(False))
+        return F.coalesce(_apply_cmp(lcol, op, value), F.lit(False))
+    if s == "@":  # element truthiness over scalar/array streams
+        return F.coalesce(truthy(x, elem_dtype), F.lit(False))
     # bare path / function call: truthiness needs the element's type
     if not isinstance(elem_dtype, T.StructType):
         raise ValueError(
@@ -571,10 +636,20 @@ def compile_expr(
             return None
         col, dt = sub
         for rhs in pipe_parts[1:]:
-            rtoks = _tokens(rhs)
-            col = _compile_tokens(rtoks, col, dt)
-            dt = _walk_type(dt, rtoks)
+            # the RHS compiles relative to the LHS result: its "schema"
+            # is the result TYPE (same convention as filter elements), so
+            # bracket ops, paths, functions and @ all work after a pipe
+            sub = compile_expr(dt, rhs, quoted_is_field=False, base=col)
+            if sub is None:
+                return None
+            col, dt = sub
         return col, dt
+    # @ — the current element (meaningful relative to a pipe RHS or a
+    # filter's lambda element; there is no "current node" at the root)
+    if expr == "@":
+        if base is None:
+            raise ValueError("@ has no referent outside a pipe RHS or filter")
+        return base, schema
     # multiselect-hash {a: expr, b: expr}
     if expr.startswith("{") and expr.endswith("}"):
         fields, ftypes = [], []
@@ -589,6 +664,34 @@ def compile_expr(
             fields.append(sub[0].alias(name))
             ftypes.append(T.StructField(name, sub[1] or T.NullType()))
         return F.struct(*fields), T.StructType(ftypes)
+    # multiselect-list [expr, expr] (NOT an index/slice/filter/flatten
+    # bracket op, which _INDEX_RE claims first). Spark arrays are
+    # homogeneous, so mixed member types are a loud error rather than a
+    # silently stringified list; unresolved members yield null (jmespath
+    # puts null in the member slot).
+    if (
+        expr.startswith("[")
+        and expr.endswith("]")
+        and not _INDEX_RE.match(expr)
+    ):
+        parts = _split_top(expr[1:-1])
+        if not parts:
+            return None
+        subs = [
+            compile_expr(schema, p, quoted_is_field, base) or (F.lit(None), None)
+            for p in parts
+        ]
+        dts = {s[1].simpleString() for s in subs if s[1] is not None}
+        if len(dts) > 1:
+            raise ValueError(
+                f"multiselect-list {expr!r} mixes member types {sorted(dts)} "
+                "— Spark arrays are homogeneous"
+            )
+        common = next((s[1] for s in subs if s[1] is not None), T.NullType())
+        cols = [
+            s[0] if s[1] is not None else s[0].cast(common) for s in subs
+        ]
+        return F.array(*cols), T.ArrayType(common)
     # raw string literal / backtick JSON literal. GRAMMAR CONFLICT: this
     # codebase's path language single-quotes literal FIELD names (the
     # registry's '@timestamp' pointer paths, grove/helpers/parsing.py
@@ -683,12 +786,11 @@ def _literal_type(v) -> T.DataType | None:
     return None
 
 
-# JMESPath-style comparison: ``expr <op> literal`` (filter_entries.py:44
+# JMESPath-style comparison ``expr <op> literal`` (filter_entries.py:44
 # semantics — the reference evaluates these with jmespath.search per row;
-# here they compile once into a Catalyst predicate).
-_CMP_RE = re.compile(
-    r"^(?P<path>[^=!<>]+?)\s*(?P<op>==|!=|>=|<=|>|<)\s*(?P<lit>.+)$"
-)
+# here they compile once into a Catalyst predicate) is parsed by
+# _split_cmp: a depth-aware scan, because a regex would bind the ``==``
+# inside a nested filter's brackets.
 
 
 def _parse_literal(raw: str):
@@ -728,15 +830,15 @@ def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
     never satisfies a comparison. Spark's three-valued logic applies to
     null VALUES at a resolvable path (documented deviation: JMESPath
     treats ``null != x`` as true; callers coalesce nulls to False)."""
-    m = _CMP_RE.match(expr_str.strip())
+    m = _split_cmp(expr_str.strip())
     if not m:
         return None
-    path = m.group("path").strip()
-    value = _parse_literal(m.group("lit"))
+    path, op, lit_raw = m
+    value = _parse_literal(lit_raw)
     sub = compile_expr(schema, path)
     if sub is None:
         return F.lit(False)
-    return _apply_cmp(sub[0], m.group("op"), value)
+    return _apply_cmp(sub[0], op, value)
 
 
 def truthy(col: Column, dtype: T.DataType | None) -> Column:

@@ -178,6 +178,13 @@ EXPRS = [
     "events[*].name | [0:1]",
     "events[?tags] | [0].name",
     "length(events[].tags[])",
+    # @, pipes with functions, multiselect-list
+    "events[*].name | length(@)",
+    "events[0].tags | [0]",
+    "events[].tags[] | length(@)",
+    "[outcome.result, events[0].name]",
+    "events[0].tags[?@ == 'a']",
+    "events[?tags[?@ == 'c']].name",
 ]
 
 
@@ -357,10 +364,15 @@ def test_quoted_segment_stays_a_field_in_expressions(spark):
 
 
 def test_malformed_bracket_syntax_is_loud():
+    """Nested filters like a[?tags[0] == 'x'] now PARSE (the bracket
+    scanner); genuinely malformed syntax must still fail loudly."""
     from grove_spark.functions.paths import path_col
 
+    path_col("a[?tags[0] == 'x'].name")  # supported since the scanner
     with pytest.raises(ValueError, match="unparseable index"):
-        path_col("a[?tags[0] == 'x'].name")
+        path_col("a[?tags[0 == 'x'].name")  # unbalanced bracket
+    with pytest.raises(ValueError, match="unparseable index"):
+        path_col("a[0]junk.name")  # trailing garbage after a group
     with pytest.raises(ValueError, match="unsupported slice"):
         path_col("a[1:9:2]")
 
