@@ -275,6 +275,16 @@ def _project(col: Column, toks: List[Tuple[str, object]], elem: T.DataType | Non
     if before:
         col = F.transform(col, lambda x: _compile_tokens(before, x, elem))
         elem = _walk_type(elem, before) if elem is not None else None
+    if elem is None:
+        # without type info we cannot distinguish "already flat" from
+        # "needs F.flatten" — silently skipping would return nested
+        # arrays where jmespath flattens (same loud contract as the
+        # direct a[] form)
+        raise ValueError(
+            "[] flatten inside a projection needs type information — "
+            "compile through a schema-aware entry point "
+            "(path_col(schema=...) / compile_expr)"
+        )
     if isinstance(elem, T.ArrayType):
         col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
         elem = elem.elementType

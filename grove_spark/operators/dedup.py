@@ -183,7 +183,10 @@ def dedup_lines(
             "pos", "line"
         ),
     ).withColumn("lh", F.xxhash64("line"))
-    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("c"))
+    # count DISTINCT documents, not occurrences: a line repeated inside
+    # ONE document is repetition (repetition_signals' territory), not
+    # corpus boilerplate, and must not be dropped corpus-wide
+    counts = lines.groupBy("lh").agg(F.countDistinct(id_col).alias("c"))
     dup = counts.where(F.col("c") >= min_count)
     if keep == "none":
         kept = lines.join(dup.select("lh"), "lh", "left_anti")

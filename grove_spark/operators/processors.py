@@ -139,7 +139,7 @@ def split_path(df: DataFrame, source: str) -> DataFrame:
     becomes element-typed, so passthrough rows carry null there).
     """
     parts = quote_aware_split(source)
-    src = path_col(source)
+    src = path_col(source, df.schema)
     dtype = resolve_type(df.schema, source)
     if not isinstance(dtype, T.ArrayType):
         return df  # non-list: passthrough (split_path.py:68-69)
@@ -169,7 +169,7 @@ def zip_paths(
     reference).
     """
     parts = quote_aware_split(source)
-    src = path_col(source)
+    src = path_col(source, df.schema)
     dtype = resolve_type(df.schema, source)
     if dtype is None:
         return df
@@ -222,7 +222,7 @@ def decode_base64(df: DataFrame, paths: Sequence[str]) -> DataFrame:
     to fields listed under ``encoding: {base64: [...]}``)."""
     for p in paths:
         parts = quote_aware_split(p)
-        col = F.unbase64(path_col(p)).cast("string")
+        col = F.unbase64(path_col(p, df.schema)).cast("string")
         df = _replace_at_path(df, parts, col)
     return df
 

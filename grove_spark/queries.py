@@ -1116,6 +1116,25 @@ FROM events WHERE NOT coalesce(value <= 0.5, FALSE)
 """
 
 
+def _stream_src_dir(sf_dir: str) -> str:
+    """The file-stream source lists a DIRECTORY; expose the single
+    events.parquet through a symlinked temp dir (testdata is read-only).
+    One stable dir per (process, sf_dir): reruns reuse it instead of
+    leaking a fresh temp dir per invocation."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"grove_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 Structured Streaming: file-source stream over the events
     parquet, 1-hour tumbling windows with a watermark, availableNow
@@ -1131,18 +1150,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    # the file-stream source lists a DIRECTORY; expose the single parquet
-    # file through a symlinked temp dir (testdata itself is read-only).
-    # One stable dir per (process, sf_dir): reruns reuse it instead of
-    # leaking a fresh temp dir per invocation
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"grove_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    d = _stream_src_dir(sf_dir)
     stream = (
         spark.readStream.schema(ev_schema)
         .parquet(d)
@@ -2211,7 +2219,7 @@ nat AS (
 boiler AS (SELECT doc_id, 0 AS pos, 'all rights reserved cookie banner' AS line
            FROM base WHERE doc_id % 20 = 0),
 lines AS (SELECT * FROM nat UNION ALL SELECT * FROM boiler),
-cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+cnt AS (SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line),
 kept AS (SELECT l.doc_id, l.pos, l.line
          FROM lines l JOIN cnt USING (line) WHERE c < 2),
 tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
@@ -2338,14 +2346,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"grove_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    d = _stream_src_dir(sf_dir)
     stream = (
         spark.readStream.schema(ev_schema)
         .parquet(d)

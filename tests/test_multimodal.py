@@ -220,9 +220,8 @@ def test_png_spec_bytes_and_hand_assembled_decode():
     img = decode_png(png)
     assert img.tolist() == [[1, 2], [3, 4]]
 
-    bad = bytearray(png)
-    bad[-5] ^= 0xFF  # flip a CRC byte of IEND... use IDAT crc instead
-    # corrupt the IDAT chunk CRC (last 4 bytes before IEND chunk)
+    # corrupt the IDAT chunk CRC (the byte just before the IEND chunk's
+    # length field)
     iend_off = png.rindex(b"IEND") - 4
     bad = bytearray(png)
     bad[iend_off - 1] ^= 0xFF

@@ -104,7 +104,8 @@ def test_mixture_sample_up_down_and_absent(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     # plan: totals dim joins via broadcast, no driver collect needed
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "SortMergeJoin" not in plan
 
     with pytest.raises(ValueError):
         mixture_sample(docs, {"a": 1.0}, 0)

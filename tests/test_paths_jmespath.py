@@ -404,3 +404,22 @@ def test_empty_string_literal_and_stepped_slice_message(spark, df):
     assert df.select(col2.alias("x")).first()["x"] == "id"
     with pytest.raises(ValueError, match="unsupported slice"):
         path_col("a[1:9:2]")
+
+
+def test_schema_less_flatten_is_loud_everywhere():
+    """Review regression: path_col('a[*].b[]') without a schema used to
+    silently return NESTED arrays (jmespath flattens); both the direct
+    and the in-projection flat must raise the same loud contract."""
+    from grove_spark.functions.paths import path_col
+
+    with pytest.raises(ValueError, match="flatten"):
+        path_col("a[].b")
+    with pytest.raises(ValueError, match="flatten"):
+        path_col("a[*].b[]")
+    # with the schema, both compile (and parity is covered by the
+    # jmespath-library suite)
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("a", T.ArrayType(T.StructType([
+        T.StructField("b", T.ArrayType(T.LongType()))])))])
+    path_col("a[].b", schema)
+    path_col("a[*].b[]", schema)

@@ -61,6 +61,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = ""):
     qs, oracle = entrymod.queries(), entrymod.oracle_sql()
     if only:
         keep = set(only.split(","))
+        unknown = keep - qs.keys()
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
         qs = {k: v for k, v in qs.items() if k in keep}
     failures = []
     for name, fn in qs.items():
