@@ -44,6 +44,7 @@ HEADLINE = [
     "zip_paths", "window_topk", "quality_score", "ann_bruteforce",
     "minhash_lsh", "sessionize_batch", "asof_join", "fleet_mixed",
     "decontaminate", "pii_redact", "sequence_pack", "repetition",
+    "line_dedup", "session_window", "mixture", "zorder",
 ]
 
 
