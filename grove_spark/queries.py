@@ -2535,3 +2535,59 @@ GROUP BY e.event_id
 
 QUERIES.update({"zorder": q_zorder})
 ORACLE.update({"zorder": SQL_ZORDER})
+
+def q_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated-cursor API connector as a Spark 4 Python DataSource
+    (sources/api_source.py): events are spooled into the dir-transport
+    page layout (500/page, ascending event_id, per-page max pointers),
+    then read back through format('grove_paged_api') with the watermark
+    predicate pushed into the source (whole-page pruning + residual row
+    filter) and aggregated. Fixture synthesis collects the tiny gate
+    table once; the read path is the judged artifact."""
+    import os
+    import tempfile
+
+    from grove_spark.sources.api_source import PagedApiDataSource, write_pages
+
+    spark.dataSource.register(PagedApiDataSource)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"grove_api_pages_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    if not os.path.exists(os.path.join(d, "_index.json")):
+        rows = (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "event_type", "user_id")
+            .orderBy("event_id")
+            .collect()
+        )
+        write_pages(
+            [r.asDict() for r in rows], d, page_size=500, pointer_col="event_id"
+        )
+    df = (
+        spark.read.format("grove_paged_api")
+        .option("path", d)
+        .option("schema", "event_id bigint, event_type string, user_id bigint")
+        .option("pointer_col", "event_id")
+        .load()
+        .where(F.col("event_id") > 499)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+    )
+
+
+SQL_API_SOURCE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM events WHERE event_id > 499
+GROUP BY event_type
+"""
+
+
+QUERIES.update({"api_source": q_api_source})
+ORACLE.update({"api_source": SQL_API_SOURCE})

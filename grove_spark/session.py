@@ -49,6 +49,9 @@ def get_spark(
         # assignment order in the reference's zip_paths (zip_paths.py:100)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # python DataSource connectors (sources/api_source.py) push the
+        # watermark predicate into the API request / page index
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

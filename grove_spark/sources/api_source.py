@@ -1,0 +1,220 @@
+"""A Spark 4 Python DataSource implementing the reference's core
+abstraction: a paginated-cursor API connector.
+
+The reference's connectors walk a paginated HTTP API page by page on one
+thread, stopping at the stored pointer (grove/connectors/__init__.py
+collect loop). Expressed Spark-natively, the SAME model becomes a
+``DataSource``:
+
+* ``partitions()`` plans page RANGES — executors fetch pages in
+  parallel instead of a driver-side loop;
+* ``pushFilters`` accepts the watermark predicate
+  (``pointer > <stored>``) and turns it into (a) whole-page pruning via
+  the page index and (b) an ``after=`` request parameter — the engine's
+  typed-watermark discipline pushed INTO the connector, so already-seen
+  pages are never fetched;
+* the streaming side (``simpleStreamReader``) maps the run-state pointer
+  onto Structured Streaming OFFSETS: the page cursor is checkpointed by
+  Spark itself, giving exactly-once micro-batch ingest of the same API.
+
+Two transports keep it testable in the sandbox and honest at scale:
+``dir`` reads JSON page files (``page-00000.json`` + ``_index.json``
+with per-page max pointers), ``http`` GETs ``{url}?page=N&after=W``
+from any endpoint (exercised against a local http.server in tests —
+the request path is the real one).
+
+Register once per session:
+    spark.dataSource.register(PagedApiDataSource)
+    spark.read.format("grove_paged_api").option(...).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_PAGES_PER_TASK = 8
+
+
+class _PageRange(InputPartition):
+    def __init__(self, pages: List[int]):
+        self.pages = pages
+
+
+def _load_page(options, page: int, watermark) -> list:
+    transport = options.get("transport", "dir")
+    if transport == "dir":
+        p = os.path.join(options["path"], f"page-{page:05d}.json")
+        with open(p) as f:
+            return json.load(f)
+    if transport == "http":
+        from urllib.parse import urlencode
+        from urllib.request import urlopen
+
+        q = {"page": page}
+        if watermark is not None:
+            q["after"] = watermark
+        with urlopen(f"{options['url']}?{urlencode(q)}", timeout=30) as r:
+            return json.loads(r.read())
+    raise ValueError(f"unknown transport {transport!r}")
+
+
+def _page_count(options) -> int:
+    if options.get("transport", "dir") == "dir":
+        idx = os.path.join(options["path"], "_index.json")
+        with open(idx) as f:
+            return len(json.load(f))
+    return int(options["pages"])  # http: page count is a required option
+
+
+def _page_index(options):
+    """dir transport: [{"page": n, "max_pointer": v}, ...] — lets the
+    planner PRUNE whole pages at or below the watermark (log-order
+    ascending pages, the reference's chronological walk)."""
+    if options.get("transport", "dir") != "dir":
+        return None
+    idx = os.path.join(options["path"], "_index.json")
+    with open(idx) as f:
+        return json.load(f)
+
+
+class _PagedApiReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        self.pointer_col = options.get("pointer_col")
+        self.watermark = None
+
+    def pushFilters(self, filters: List[Filter]):
+        for f in filters:
+            if (
+                isinstance(f, GreaterThan)
+                and self.pointer_col is not None
+                and f.attribute == (self.pointer_col,)
+            ):
+                # fully handled: pages pruned in partitions(), residual
+                # rows filtered in read(), after= param on http
+                self.watermark = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        n = _page_count(self.options)
+        pages = list(range(n))
+        idx = _page_index(self.options)
+        if idx is not None and self.watermark is not None:
+            keep = {
+                e["page"] for e in idx
+                if e.get("max_pointer") is None or e["max_pointer"] > self.watermark
+            }
+            pages = [p for p in pages if p in keep]
+        per = int(self.options.get("pages_per_task", DEFAULT_PAGES_PER_TASK))
+        ranges = [pages[i:i + per] for i in range(0, len(pages), per)]
+        return [_PageRange(r) for r in ranges] or [_PageRange([])]
+
+    def read(self, partition: _PageRange) -> Iterator[Tuple]:
+        names = [f.name for f in self.schema.fields]
+        for page in partition.pages:
+            for rec in _load_page(self.options, page, self.watermark):
+                if (
+                    self.watermark is not None
+                    and self.pointer_col in rec
+                    and not (rec[self.pointer_col] > self.watermark)
+                ):
+                    continue
+                yield tuple(rec.get(n) for n in names)
+
+
+class _PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Run-state pointer as a Structured Streaming OFFSET: each
+    micro-batch drains the pages that exist beyond the checkpointed page
+    cursor; Spark's checkpoint IS the commit (T1 parity without a
+    manifest)."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+
+    def initialOffset(self) -> dict:
+        return {"page": int(self.options.get("start_page", 0))}
+
+    def read(self, start: dict):
+        end = {"page": _page_count(self.options)}
+        # iter() over a materialized list: the harness consumes the
+        # iterator eagerly and caches the RECORDS (a bare generator fails
+        # pickling inside planPartitions, a bare list fails the iterator
+        # type check in latestOffset)
+        return (iter(self._between(start["page"], end["page"])), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._between(start["page"], end["page"])
+
+    def _between(self, lo: int, hi: int) -> List[Tuple]:
+        names = [f.name for f in self.schema.fields]
+        return [
+            tuple(rec.get(n) for n in names)
+            for page in range(lo, hi)
+            for rec in _load_page(self.options, page, None)
+        ]
+
+
+class PagedApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "grove_paged_api"
+
+    def schema(self):
+        ddl = self.options.get("schema")
+        if not ddl:
+            raise ValueError(
+                "grove_paged_api needs a .option('schema', '<DDL>') — API "
+                "pages are schemaless JSON and inference would read every "
+                "page twice"
+            )
+        # returned as a DDL string: schema() runs in a session-less
+        # worker python process where the DDL parser is unavailable
+        return ddl
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PagedApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _PagedApiStreamReader(schema, self.options)
+
+
+def write_pages(
+    records: list,
+    path: str,
+    page_size: int,
+    pointer_col: str | None = None,
+) -> int:
+    """Materialize records as the dir-transport page layout (test/dev
+    harness and the on-disk spool format a collector daemon would write):
+    ``page-NNNNN.json`` files plus ``_index.json`` with per-page max
+    pointers for page pruning. Returns the page count."""
+    os.makedirs(path, exist_ok=True)
+    index = []
+    for i in range(0, max(len(records), 1), page_size):
+        page = records[i // page_size * page_size:i + page_size]
+        n = i // page_size
+        with open(os.path.join(path, f"page-{n:05d}.json"), "w") as f:
+            json.dump(page, f, default=str)
+        index.append({
+            "page": n,
+            "max_pointer": max((r[pointer_col] for r in page), default=None)
+            if pointer_col else None,
+        })
+    with open(os.path.join(path, "_index.json"), "w") as f:
+        json.dump(index, f)
+    return len(index)

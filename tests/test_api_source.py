@@ -1,0 +1,147 @@
+"""The paginated-cursor API connector as a Spark 4 Python DataSource:
+partitioned page planning, watermark pushdown (page pruning + after=
+request param), HTTP transport against a real local server, and the
+streaming reader whose offsets ARE the page cursor."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from grove_spark.sources.api_source import (
+    PagedApiDataSource,
+    _PagedApiReader,
+    write_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("api_pages"))
+    recs = [{"event_id": i, "et": f"e{i % 3}"} for i in range(1000)]
+    write_pages(recs, d, page_size=100, pointer_col="event_id")
+    return d
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(PagedApiDataSource)
+    return spark
+
+
+def test_dir_transport_read_and_watermark(registered, pages_dir):
+    spark = registered
+    df = (
+        spark.read.format("grove_paged_api")
+        .option("path", pages_dir)
+        .option("schema", "event_id bigint, et string")
+        .option("pointer_col", "event_id")
+        .load()
+    )
+    assert df.count() == 1000
+    wm = df.where(F.col("event_id") > 499)
+    assert wm.count() == 500
+    assert wm.agg(F.min("event_id")).first()[0] == 500
+
+
+def test_watermark_prunes_whole_pages(pages_dir):
+    """Planner-level: the pushed GreaterThan drops pages whose
+    max_pointer <= watermark BEFORE any fetch (grove's walk-until-
+    pointer, inverted into pruning)."""
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import StructType
+
+    opts = {"path": pages_dir, "pointer_col": "event_id", "pages_per_task": "2"}
+    schema = StructType.fromDDL("event_id bigint, et string")
+    r = _PagedApiReader(schema, opts)
+    assert sum(len(p.pages) for p in r.partitions()) == 10
+    r2 = _PagedApiReader(schema, opts)
+    residual = list(r2.pushFilters([GreaterThan(("event_id",), 499)]))
+    assert residual == []  # fully consumed
+    kept = [pg for p in r2.partitions() for pg in p.pages]
+    assert kept == [5, 6, 7, 8, 9]
+    # boundary page is row-filtered in read()
+    rows = [t for p in r2.partitions() for t in r2.read(p)]
+    assert len(rows) == 500 and min(t[0] for t in rows) == 500
+
+
+def test_http_transport_against_local_server(registered, pages_dir):
+    """The real request path: GET ?page=N&after=W against a live local
+    http.server; the server applies after= exactly like a cursor API."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q["page"][0])
+            after = int(q["after"][0]) if "after" in q else None
+            p = os.path.join(pages_dir, f"page-{page:05d}.json")
+            recs = json.load(open(p)) if os.path.exists(p) else []
+            if after is not None:
+                recs = [r for r in recs if r["event_id"] > after]
+            body = json.dumps(recs).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/events"
+        df = (
+            registered.read.format("grove_paged_api")
+            .option("transport", "http")
+            .option("url", url)
+            .option("pages", "10")
+            .option("schema", "event_id bigint, et string")
+            .option("pointer_col", "event_id")
+            .load()
+        )
+        wm = df.where(F.col("event_id") > 899)
+        assert wm.count() == 100
+        assert wm.agg(F.min("event_id")).first()[0] == 900
+    finally:
+        srv.shutdown()
+
+
+def test_stream_reader_pages_as_offsets(registered, pages_dir, tmp_path):
+    """Streaming ingest of the same API: the page cursor is a Spark
+    offset, checkpointed by the engine — T1's pointer commit expressed
+    as Structured Streaming semantics."""
+    spark = registered
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("grove_paged_api")
+            .option("path", pages_dir)
+            .option("schema", "event_id bigint, et string")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == 1000
+    # offsets committed: a restart from the same checkpoint re-reads
+    # NOTHING (the page cursor moved past every page) — zero duplicates
+    run()
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_missing_schema_is_loud(registered):
+    with pytest.raises(Exception, match="schema"):
+        registered.read.format("grove_paged_api").option("path", "/tmp/x").load()
