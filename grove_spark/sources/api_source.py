@@ -37,10 +37,12 @@ from typing import Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -192,6 +194,9 @@ class PagedApiDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return _PagedApiStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _PagedApiWriter(schema, self.options, overwrite)
+
 
 def write_pages(
     records: list,
@@ -218,3 +223,81 @@ def write_pages(
     with open(os.path.join(path, "_index.json"), "w") as f:
         json.dump(index, f)
     return len(index)
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, files):
+        # [(tmp_name, n_records, max_pointer), ...] in task order
+        self.files = files
+
+
+class _PagedApiWriter(DataSourceWriter):
+    """Distributed page-spool writer with a Hadoop-style commit
+    protocol: each task writes temp page files and reports them in its
+    commit message; the driver's commit() assigns the global ascending
+    page numbering, renames everything into place and writes
+    _index.json LAST — a reader never sees a half-written spool, and an
+    aborted write leaves only temp files that abort() removes."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.overwrite = overwrite
+        self.path = options["path"]
+        self.pointer_col = options.get("pointer_col")
+        self.page_size = int(options.get("page_size", 500))
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        names = [f.name for f in self.schema.fields]
+        files, buf, seq = [], [], 0
+
+        def flush():
+            nonlocal seq
+            if not buf:
+                return
+            tmp = f"_tmp-{pid:05d}-{seq:05d}.json"
+            with open(os.path.join(self.path, tmp), "w") as f:
+                json.dump(buf, f, default=str)
+            mp = (
+                max(r[self.pointer_col] for r in buf)
+                if self.pointer_col else None
+            )
+            files.append((tmp, len(buf), mp))
+            seq += 1
+            buf.clear()
+
+        for row in iterator:
+            buf.append(dict(zip(names, tuple(row))))
+            if len(buf) >= self.page_size:
+                flush()
+        flush()
+        return _PageCommit(files)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("page-") or f == "_index.json":
+                    os.unlink(os.path.join(self.path, f))
+        index, n = [], 0
+        for msg in messages:
+            for tmp, count, mp in msg.files:
+                final = f"page-{n:05d}.json"
+                os.replace(
+                    os.path.join(self.path, tmp), os.path.join(self.path, final)
+                )
+                index.append({"page": n, "max_pointer": mp, "n": count})
+                n += 1
+        with open(os.path.join(self.path, "_index.json"), "w") as f:
+            json.dump(index, f)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            for tmp, _, _ in msg.files:
+                try:
+                    os.unlink(os.path.join(self.path, tmp))
+                except FileNotFoundError:
+                    pass

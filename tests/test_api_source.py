@@ -145,3 +145,45 @@ def test_stream_reader_pages_as_offsets(registered, pages_dir, tmp_path):
 def test_missing_schema_is_loud(registered):
     with pytest.raises(Exception, match="schema"):
         registered.read.format("grove_paged_api").option("path", "/tmp/x").load()
+
+
+def test_writer_roundtrip_with_commit_protocol(registered, tmp_path):
+    """Distributed page-spool write: tasks spill temp pages, the driver
+    commit assigns global page numbers and writes _index.json LAST; the
+    reader (incl. page pruning) consumes the result directly."""
+    spark = registered
+    out = str(tmp_path / "spool")
+    df = spark.range(1000).selectExpr(
+        "id AS event_id", "concat('e', id % 3) AS et"
+    ).repartition(4)
+    (
+        df.write.format("grove_paged_api")
+        .option("path", out)
+        .option("pointer_col", "event_id")
+        .option("page_size", "100")
+        .mode("append")
+        .save()
+    )
+    idx = json.load(open(os.path.join(out, "_index.json")))
+    assert sum(e["n"] for e in idx) == 1000
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    back = (
+        spark.read.format("grove_paged_api")
+        .option("path", out)
+        .option("schema", "event_id bigint, et string")
+        .option("pointer_col", "event_id")
+        .load()
+    )
+    assert back.count() == 1000
+    assert back.select("event_id").distinct().count() == 1000
+    # pruning works on writer-produced indexes too (unordered pages:
+    # only pages whose max_pointer clears the watermark are fetched)
+    assert back.where(F.col("event_id") > 899).count() == 100
+
+    # overwrite replaces the spool atomically at commit
+    spark.range(10).selectExpr("id AS event_id", "'x' AS et") \
+        .coalesce(1).write.format("grove_paged_api") \
+        .option("path", out).option("pointer_col", "event_id") \
+        .mode("overwrite").save()
+    idx2 = json.load(open(os.path.join(out, "_index.json")))
+    assert sum(e["n"] for e in idx2) == 10
