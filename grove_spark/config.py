@@ -295,6 +295,20 @@ def assemble_fleet(
     watermarks = watermarks or {}
     seen_states = seen_states or {}
 
+    # a state key that matches NO member would be silently ignored —
+    # and an ignored watermark means a full re-ingest (duplicates), an
+    # ignored seen-state means boundary re-admission. Misspelled
+    # references fail loudly instead.
+    refs = {m.reference() for m in configs}
+    for label, d in (("watermarks", watermarks), ("seen_states", seen_states),
+                     ("pointer_cols", pointer_cols or {})):
+        unknown = set(d) - refs
+        if unknown:
+            raise ValueError(
+                f"{label} keys match no fleet member: {sorted(unknown)} "
+                f"(known references: {sorted(refs)})"
+            )
+
     # ---- ONE deduped stream for the whole fleet ---------------------------
     # per-connector incremental predicate (exact resume, D2/D3).
     # The watermark literal is cast to the pointer column's native
@@ -497,7 +511,10 @@ def run_fleet(
     routed, deduped = assemble_fleet(
         spark, due, sequences, watermarks, pointer_col,
         seen_states=seen_states, return_deduped=True,
-        pointer_cols=pointer_cols,
+        # restrict to due members: assemble_fleet rejects unknown state
+        # keys loudly, and a pointer_cols entry for a not-currently-due
+        # connector is legitimate caller config, not a typo
+        pointer_cols={k: v for k, v in pointer_cols.items() if k in pc_of},
     )
     routed.persist()
     # the boundary-hash job below runs two more actions over the deduped

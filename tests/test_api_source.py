@@ -187,3 +187,43 @@ def test_writer_roundtrip_with_commit_protocol(registered, tmp_path):
         .mode("overwrite").save()
     idx2 = json.load(open(os.path.join(out, "_index.json")))
     assert sum(e["n"] for e in idx2) == 10
+
+
+def test_fleet_runs_over_the_api_connector(registered, tmp_path):
+    """End-to-end: the config-driven fleet (assemble_fleet) ingesting
+    from the paged-API DataSource instead of parquet — the member's
+    typed watermark predicate travels through Catalyst INTO
+    pushFilters, so already-ingested pages are pruned at the source."""
+    from grove_spark.config import ConnectorConfig, assemble_fleet
+
+    spark = registered
+    d = str(tmp_path / "seq_pages")
+    recs = [
+        {"doc_id": f"d{i}", "tokens": [i % 7, i % 5], "n_tok": 2,
+         "source": "okta", "event_time": i}
+        for i in range(400)
+    ]
+    write_pages(recs, d, page_size=50, pointer_col="event_time")
+    seq = (
+        spark.read.format("grove_paged_api")
+        .option("path", d)
+        .option(
+            "schema",
+            "doc_id string, tokens array<int>, n_tok int, "
+            "source string, event_time bigint",
+        )
+        .option("pointer_col", "event_time")
+        .load()
+    )
+    cfgs = [ConnectorConfig.from_dict(
+        {"connector": "okta_system_log", "identity": "corp", "source": "okta"}
+    )]
+    routed = assemble_fleet(
+        spark, cfgs, seq,
+        watermarks={cfgs[0].reference(): "199"},
+        pointer_col="event_time",
+    )
+    rows = routed.collect()
+    # 200 events above the watermark, each routed to raw + processed
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 200 and "d199" not in ids and "d200" in ids

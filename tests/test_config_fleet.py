@@ -221,3 +221,23 @@ def test_scheme_secrets_provider(tmp_path):
     assert p("static:abc") == "S:abc"
     assert p("GROVE_T1") == "env-secret"  # schemeless -> env fallback
     assert p("file:/nonexistent") == "" and p("nope:x") == ""
+
+
+def test_unknown_state_keys_fail_loudly(spark):
+    """A watermark/seen-state key matching no member used to be silently
+    ignored — i.e. a misspelled reference caused a full re-ingest. Now a
+    ValueError names the unknown keys and the known references."""
+    import pytest
+
+    from grove_spark.config import ConnectorConfig, assemble_fleet
+
+    seq = spark.createDataFrame(
+        [("d1", [1], 1, "okta", 5)],
+        "doc_id string, tokens array<int>, n_tok int, source string, event_time bigint",
+    )
+    cfgs = [ConnectorConfig.from_dict(
+        {"connector": "okta_system_log", "identity": "corp", "source": "okta"}
+    )]
+    with pytest.raises(ValueError, match="match no fleet member"):
+        assemble_fleet(spark, cfgs, seq, watermarks={"oops": "1"},
+                       pointer_col="event_time")
