@@ -50,14 +50,17 @@ DEFAULT_PAGES_PER_TASK = 8
 
 
 class _PageRange(InputPartition):
-    def __init__(self, pages: List[int]):
+    def __init__(self, pages: List[Tuple[int, str | None]]):
+        # (page_number, file_name_or_None) — dir-transport entries carry
+        # their file name from the index (generation-prefixed after an
+        # overwrite); http entries carry None and fetch by number
         self.pages = pages
 
 
-def _load_page(options, page: int, watermark) -> list:
+def _load_page(options, page: int, watermark, file: str | None = None) -> list:
     transport = options.get("transport", "dir")
     if transport == "dir":
-        p = os.path.join(options["path"], f"page-{page:05d}.json")
+        p = os.path.join(options["path"], file or f"page-{page:05d}.json")
         with open(p) as f:
             return json.load(f)
     if transport == "http":
@@ -112,23 +115,26 @@ class _PagedApiReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        n = _page_count(self.options)
-        pages = list(range(n))
         idx = _page_index(self.options)
-        if idx is not None and self.watermark is not None:
-            keep = {
-                e["page"] for e in idx
-                if e.get("max_pointer") is None or e["max_pointer"] > self.watermark
-            }
-            pages = [p for p in pages if p in keep]
+        if idx is None:  # http: synthesize entries by page number
+            entries = [(i, None) for i in range(_page_count(self.options))]
+        else:
+            entries = [(e["page"], e.get("file")) for e in idx]
+            if self.watermark is not None:
+                keep = {
+                    e["page"] for e in idx
+                    if e.get("max_pointer") is None
+                    or e["max_pointer"] > self.watermark
+                }
+                entries = [p for p in entries if p[0] in keep]
         per = int(self.options.get("pages_per_task", DEFAULT_PAGES_PER_TASK))
-        ranges = [pages[i:i + per] for i in range(0, len(pages), per)]
+        ranges = [entries[i:i + per] for i in range(0, len(entries), per)]
         return [_PageRange(r) for r in ranges] or [_PageRange([])]
 
     def read(self, partition: _PageRange) -> Iterator[Tuple]:
         names = [f.name for f in self.schema.fields]
-        for page in partition.pages:
-            for rec in _load_page(self.options, page, self.watermark):
+        for page, file in partition.pages:
+            for rec in _load_page(self.options, page, self.watermark, file):
                 if (
                     self.watermark is not None
                     and self.pointer_col in rec
@@ -164,10 +170,12 @@ class _PagedApiStreamReader(SimpleDataSourceStreamReader):
 
     def _between(self, lo: int, hi: int) -> List[Tuple]:
         names = [f.name for f in self.schema.fields]
+        idx = _page_index(self.options)
+        files = {e["page"]: e.get("file") for e in idx} if idx else {}
         return [
             tuple(rec.get(n) for n in names)
             for page in range(lo, hi)
-            for rec in _load_page(self.options, page, None)
+            for rec in _load_page(self.options, page, None, files.get(page))
         ]
 
 
@@ -217,6 +225,7 @@ def write_pages(
             json.dump(page, f, default=str)
         index.append({
             "page": n,
+            "file": f"page-{n:05d}.json",
             "max_pointer": max((r[pointer_col] for r in page), default=None)
             if pointer_col else None,
         })
@@ -278,21 +287,46 @@ class _PagedApiWriter(DataSourceWriter):
         return _PageCommit(files)
 
     def commit(self, messages) -> None:
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.startswith("page-") or f == "_index.json":
-                    os.unlink(os.path.join(self.path, f))
-        index, n = [], 0
+        # generation-atomic: new pages land under a fresh generation
+        # prefix (no collision with live files), the index is REPLACED
+        # atomically, and only then are unreferenced page files removed.
+        # A crash at any point leaves a consistent spool — before the
+        # replace readers see the old generation intact, after it the
+        # new one; orphans are swept by the next commit.
+        idx_path = os.path.join(self.path, "_index.json")
+        old_index, gen = [], 0
+        if os.path.exists(idx_path):
+            with open(idx_path) as f:
+                old_index = json.load(f)
+            gens = [
+                int(e["file"].split("-")[1][1:]) for e in old_index
+                if e.get("file", "").startswith("page-g")
+            ]
+            gen = max(gens, default=-1) + 1
+        index, n = ([] if self.overwrite else list(old_index)),             (0 if self.overwrite else len(old_index))
         for msg in messages:
             for tmp, count, mp in msg.files:
-                final = f"page-{n:05d}.json"
+                final = f"page-g{gen:03d}-{n:05d}.json"
                 os.replace(
                     os.path.join(self.path, tmp), os.path.join(self.path, final)
                 )
-                index.append({"page": n, "max_pointer": mp, "n": count})
+                index.append(
+                    {"page": n, "file": final, "max_pointer": mp, "n": count}
+                )
                 n += 1
-        with open(os.path.join(self.path, "_index.json"), "w") as f:
+        tmp_idx = idx_path + ".tmp"
+        with open(tmp_idx, "w") as f:
             json.dump(index, f)
+        os.replace(tmp_idx, idx_path)
+        live = {e.get("file") for e in index if e.get("file")}
+        for f in os.listdir(self.path):
+            if f.startswith("page-") and f not in live and not f.endswith(".json.tmp"):
+                # legacy unprefixed pages are only swept on overwrite
+                if f.startswith("page-g") or self.overwrite:
+                    try:
+                        os.unlink(os.path.join(self.path, f))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages) -> None:
         for msg in messages:

@@ -60,7 +60,7 @@ def test_watermark_prunes_whole_pages(pages_dir):
     r2 = _PagedApiReader(schema, opts)
     residual = list(r2.pushFilters([GreaterThan(("event_id",), 499)]))
     assert residual == []  # fully consumed
-    kept = [pg for p in r2.partitions() for pg in p.pages]
+    kept = [pg for p in r2.partitions() for pg, _file in p.pages]
     assert kept == [5, 6, 7, 8, 9]
     # boundary page is row-filtered in read()
     rows = [t for p in r2.partitions() for t in r2.read(p)]
@@ -227,3 +227,38 @@ def test_fleet_runs_over_the_api_connector(registered, tmp_path):
     # 200 events above the watermark, each routed to raw + processed
     ids = {r["doc_id"] for r in rows}
     assert len(ids) == 200 and "d199" not in ids and "d200" in ids
+
+
+def test_writer_generations_and_append(registered, tmp_path):
+    """Overwrite is generation-atomic: new pages land under a fresh
+    g-prefix, the index replace is the commit point, unreferenced files
+    are swept after. Append stacks generations without touching live
+    pages."""
+    spark = registered
+    out = str(tmp_path / "spool")
+
+    def w(n, mode):
+        spark.range(n).selectExpr("id AS event_id", "'x' AS et") \
+            .coalesce(1).write.format("grove_paged_api") \
+            .option("path", out).option("pointer_col", "event_id") \
+            .option("page_size", "50").mode(mode).save()
+
+    w(100, "append")
+    w(100, "append")  # second generation appended
+    idx = json.load(open(os.path.join(out, "_index.json")))
+    assert sum(e["n"] for e in idx) == 200
+    gens = {e["file"].split("-")[1] for e in idx}
+    assert gens == {"g000", "g001"}
+    w(50, "overwrite")
+    idx2 = json.load(open(os.path.join(out, "_index.json")))
+    assert sum(e["n"] for e in idx2) == 50
+    live = {e["file"] for e in idx2}
+    on_disk = {f for f in os.listdir(out) if f.startswith("page-")}
+    assert on_disk == live  # exactly the referenced files remain
+    back = (
+        spark.read.format("grove_paged_api")
+        .option("path", out)
+        .option("schema", "event_id bigint, et string")
+        .load()
+    )
+    assert back.count() == 50
