@@ -576,6 +576,19 @@ def _partition_top(s: str, sep: str) -> Tuple[str, str, str]:
     return s, "", ""
 
 
+def _is_bracket_op(expr: str) -> bool:
+    """True when a leading-bracket expression is an index/slice/filter/
+    flatten OP (compiled against the current node) rather than a
+    multiselect-list. Uses the bracket scanner — the legacy regex cannot
+    span a nested filter's ']' and would misroute it."""
+    try:
+        base_, idxs = _split_indices("__p" + expr)
+    except ValueError:
+        return True  # index-shaped but malformed (e.g. stepped slice):
+        # let the op path raise its specific loud error
+    return base_ == "__p" and bool(idxs)
+
+
 def _split_pipe(s: str) -> List[str]:
     """Split on single ``|`` (the jmespath pipe) at depth 0 outside
     quotes; ``||`` passes through untouched."""
@@ -649,7 +662,7 @@ def compile_expr(
             # the RHS compiles relative to the LHS result: its "schema"
             # is the result TYPE (same convention as filter elements), so
             # bracket ops, paths, functions and @ all work after a pipe
-            sub = compile_expr(dt, rhs, quoted_is_field=False, base=col)
+            sub = compile_expr(dt, rhs, quoted_is_field, base=col)
             if sub is None:
                 return None
             col, dt = sub
@@ -682,7 +695,7 @@ def compile_expr(
     if (
         expr.startswith("[")
         and expr.endswith("]")
-        and not _INDEX_RE.match(expr)
+        and not _is_bracket_op(expr)
     ):
         parts = _split_top(expr[1:-1])
         if not parts:

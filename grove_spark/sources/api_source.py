@@ -131,17 +131,27 @@ class _PagedApiReader(DataSourceReader):
         ranges = [entries[i:i + per] for i in range(0, len(entries), per)]
         return [_PageRange(r) for r in ranges] or [_PageRange([])]
 
-    def read(self, partition: _PageRange) -> Iterator[Tuple]:
-        names = [f.name for f in self.schema.fields]
+    def read(self, partition: _PageRange):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
         for page, file in partition.pages:
-            for rec in _load_page(self.options, page, self.watermark, file):
-                if (
-                    self.watermark is not None
-                    and self.pointer_col in rec
-                    and not (rec[self.pointer_col] > self.watermark)
-                ):
-                    continue
-                yield tuple(rec.get(n) for n in names)
+            recs = _load_page(self.options, page, self.watermark, file)
+            if self.watermark is not None:
+                # the pushed filter was FULLY consumed, so SQL semantics
+                # are ours to honor: a missing or null pointer never
+                # satisfies `pointer > watermark` — drop, don't leak/crash
+                recs = [
+                    r for r in recs
+                    if r.get(self.pointer_col) is not None
+                    and r[self.pointer_col] > self.watermark
+                ]
+            if recs:
+                # one Arrow batch per page: the connector is a legitimate
+                # Python boundary, but it still moves COLUMNS, not
+                # per-row tuples (CLAUDE.md Arrow-batched discipline)
+                yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
 
 class _PagedApiStreamReader(SimpleDataSourceStreamReader):
@@ -219,15 +229,18 @@ def write_pages(
     os.makedirs(path, exist_ok=True)
     index = []
     for i in range(0, max(len(records), 1), page_size):
-        page = records[i // page_size * page_size:i + page_size]
+        page = records[i:i + page_size]
         n = i // page_size
         with open(os.path.join(path, f"page-{n:05d}.json"), "w") as f:
             json.dump(page, f, default=str)
         index.append({
             "page": n,
             "file": f"page-{n:05d}.json",
-            "max_pointer": max((r[pointer_col] for r in page), default=None)
-            if pointer_col else None,
+            "max_pointer": max(
+                (r[pointer_col] for r in page
+                 if r.get(pointer_col) is not None),
+                default=None,
+            ) if pointer_col else None,
         })
     with open(os.path.join(path, "_index.json"), "w") as f:
         json.dump(index, f)
@@ -271,10 +284,12 @@ class _PagedApiWriter(DataSourceWriter):
             tmp = f"_tmp-{pid:05d}-{seq:05d}.json"
             with open(os.path.join(self.path, tmp), "w") as f:
                 json.dump(buf, f, default=str)
-            mp = (
-                max(r[self.pointer_col] for r in buf)
-                if self.pointer_col else None
+            vals = (
+                [r[self.pointer_col] for r in buf
+                 if r.get(self.pointer_col) is not None]
+                if self.pointer_col else []
             )
+            mp = max(vals) if vals else None
             files.append((tmp, len(buf), mp))
             seq += 1
             buf.clear()
@@ -318,15 +333,22 @@ class _PagedApiWriter(DataSourceWriter):
         with open(tmp_idx, "w") as f:
             json.dump(index, f)
         os.replace(tmp_idx, idx_path)
+        # sweep only files referenced by NEITHER the new nor the old
+        # index: a reader that planned against the old index keeps its
+        # files until the NEXT commit (the docstring's contract) — the
+        # prior generation is unreferenced-but-present for one commit
         live = {e.get("file") for e in index if e.get("file")}
+        live |= {e.get("file") or f"page-{e['page']:05d}.json" for e in old_index}
         for f in os.listdir(self.path):
-            if f.startswith("page-") and f not in live and not f.endswith(".json.tmp"):
-                # legacy unprefixed pages are only swept on overwrite
-                if f.startswith("page-g") or self.overwrite:
-                    try:
-                        os.unlink(os.path.join(self.path, f))
-                    except FileNotFoundError:
-                        pass
+            if (
+                f.startswith("page-")
+                and f not in live
+                and not f.endswith(".json.tmp")
+            ):
+                try:
+                    os.unlink(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         for msg in messages:

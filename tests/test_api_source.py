@@ -62,9 +62,11 @@ def test_watermark_prunes_whole_pages(pages_dir):
     assert residual == []  # fully consumed
     kept = [pg for p in r2.partitions() for pg, _file in p.pages]
     assert kept == [5, 6, 7, 8, 9]
-    # boundary page is row-filtered in read()
-    rows = [t for p in r2.partitions() for t in r2.read(p)]
-    assert len(rows) == 500 and min(t[0] for t in rows) == 500
+    # boundary page is row-filtered in read(); pages arrive as Arrow
+    # batches (columns, not per-row tuples)
+    batches = [b for p in r2.partitions() for b in r2.read(p)]
+    rows = [t for b in batches for t in b.to_pylist()]
+    assert len(rows) == 500 and min(t["event_id"] for t in rows) == 500
 
 
 def test_http_transport_against_local_server(registered, pages_dir):
@@ -254,7 +256,15 @@ def test_writer_generations_and_append(registered, tmp_path):
     assert sum(e["n"] for e in idx2) == 50
     live = {e["file"] for e in idx2}
     on_disk = {f for f in os.listdir(out) if f.startswith("page-")}
-    assert on_disk == live  # exactly the referenced files remain
+    # the PREVIOUS generation survives one commit (concurrent readers
+    # that planned against the old index keep their files)...
+    assert live <= on_disk and len(on_disk) > len(live)
+    w(50, "overwrite")
+    idx3 = json.load(open(os.path.join(out, "_index.json")))
+    live3 = {e["file"] for e in idx3} | live  # gen n-1 still shielded
+    on_disk3 = {f for f in os.listdir(out) if f.startswith("page-")}
+    # ...and generations older than n-1 are swept by the next commit
+    assert on_disk3 == live3
     back = (
         spark.read.format("grove_paged_api")
         .option("path", out)

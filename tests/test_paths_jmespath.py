@@ -185,6 +185,11 @@ EXPRS = [
     "[outcome.result, events[0].name]",
     "events[0].tags[?@ == 'a']",
     "events[?tags[?@ == 'c']].name",
+    # review regressions: bracket OPS on a pipe RHS (incl. nested
+    # filters) must compile as ops, not multiselect-lists
+    "events | [?tags[?@ == 'c']].name",
+    "events | [?name == 'read'].name",
+    "events | [0:1].name | [0]",
 ]
 
 
