@@ -65,13 +65,15 @@ def _load_page(options, page: int, watermark, file: str | None = None) -> list:
             return json.load(f)
     if transport == "http":
         from urllib.parse import urlencode
-        from urllib.request import urlopen
 
         q = {"page": page}
         if watermark is not None:
             q["after"] = watermark
-        with urlopen(f"{options['url']}?{urlencode(q)}", timeout=30) as r:
-            return json.loads(r.read())
+        return _http_get_json(
+            f"{options['url']}?{urlencode(q)}",
+            int(options.get("retries", 3)),
+            float(options.get("backoff_s", 0.2)),
+        )
     raise ValueError(f"unknown transport {transport!r}")
 
 
@@ -210,6 +212,8 @@ class PagedApiDataSource(DataSource):
         return _PagedApiReader(schema, self.options)
 
     def simpleStreamReader(self, schema: StructType):
+        if self.options.get("pagination", "pages") == "cursor":
+            return _CursorApiStreamReader(schema, self.options)
         return _PagedApiStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -357,3 +361,105 @@ class _PagedApiWriter(DataSourceWriter):
                     os.unlink(os.path.join(self.path, tmp))
                 except FileNotFoundError:
                     pass
+
+
+def _http_get_json(url: str, retries: int, backoff_s: float):
+    """Bounded-retry GET with deterministic exponential backoff — the
+    reference's API clients retry transient 5xx/connection errors; the
+    executor-side fetch does the same (no jitter: reruns behave
+    identically)."""
+    import time
+    from urllib.error import HTTPError, URLError
+    from urllib.request import urlopen
+
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            with urlopen(url, timeout=30) as r:
+                return json.loads(r.read())
+        except (HTTPError, URLError, TimeoutError) as e:  # noqa: PERF203
+            if isinstance(e, HTTPError) and e.code < 500 and e.code != 429:
+                raise  # 4xx (except throttling) is a config error, not transient
+            last = e
+            if attempt < retries:
+                time.sleep(backoff_s * (2 ** attempt))
+    raise last
+
+
+def _load_chunk(options, cursor: str) -> dict:
+    """Opaque-cursor transports: one chunk = {"records": [...],
+    "next": <token|null>}."""
+    transport = options.get("transport", "dir")
+    if transport == "dir":
+        p = os.path.join(options["path"], f"chunk-{cursor}.json")
+        with open(p) as f:
+            return json.load(f)
+    if transport == "http":
+        from urllib.parse import urlencode
+
+        url = f"{options['url']}?{urlencode({'cursor': cursor})}"
+        return _http_get_json(
+            url,
+            int(options.get("retries", 3)),
+            float(options.get("backoff_s", 0.2)),
+        )
+    raise ValueError(f"unknown transport {transport!r}")
+
+
+class _CursorApiStreamReader(SimpleDataSourceStreamReader):
+    """Opaque-cursor pagination (the reference's S4 connectors: the next
+    token is server-issued and unparseable) CANNOT be planned into
+    parallel page ranges — which is exactly why the reference walks it
+    on one thread. Spark-natively it maps onto streaming OFFSETS: the
+    offset IS the cursor token, each micro-batch follows the chain up to
+    ``max_pages_per_batch`` links, and Spark's checkpoint commits the
+    cursor exactly like run-state commits a pointer. Replay between two
+    committed cursors re-walks the chain (cursor APIs replay
+    deterministically from a token — the same property grove's resume
+    depends on)."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.options.get("start_cursor", "head"), "pos": 0}
+
+    def read(self, start: dict):
+        per_batch = int(self.options.get("max_pages_per_batch", 64))
+        names = [f.name for f in self.schema.fields]
+        out: List[Tuple] = []
+        cur, pos = start["cursor"], start.get("pos", 0)
+        for _ in range(per_batch):
+            chunk = _load_chunk(self.options, cur)
+            recs = chunk.get("records", [])
+            out.extend(tuple(r.get(n) for n in names) for r in recs[pos:])
+            nxt = chunk.get("next")
+            if nxt is None:
+                # live tail: park AFTER the consumed records — the next
+                # tick re-polls this chunk for appended records or a new
+                # next link, emitting only what it has not yet delivered
+                pos = len(recs)
+                break
+            cur, pos = nxt, 0
+        end = {"cursor": cur, "pos": pos}
+        if end == start:
+            return (iter([]), start)  # nothing new: empty batch, no dupes
+        return (iter(out), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [f.name for f in self.schema.fields]
+        out: List[Tuple] = []
+        cur, pos = start["cursor"], start.get("pos", 0)
+        while cur is not None:
+            chunk = _load_chunk(self.options, cur)
+            recs = chunk.get("records", [])
+            if cur == end["cursor"]:
+                out.extend(
+                    tuple(r.get(n) for n in names)
+                    for r in recs[pos:end.get("pos", len(recs))]
+                )
+                break
+            out.extend(tuple(r.get(n) for n in names) for r in recs[pos:])
+            cur, pos = chunk.get("next"), 0
+        return out

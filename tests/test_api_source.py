@@ -272,3 +272,106 @@ def test_writer_generations_and_append(registered, tmp_path):
         .load()
     )
     assert back.count() == 50
+
+
+def test_cursor_pagination_stream_exactly_once(registered, tmp_path):
+    """Opaque-cursor pagination (the reference's S4 connectors) as a
+    streaming source: the offset is (cursor, consumed-pos), so the live
+    tail chunk's records are delivered exactly once even though the
+    reader parks on it and re-polls. A later tick follows the new next
+    link without re-emitting anything."""
+    spark = registered
+    api = tmp_path / "capi"
+    api.mkdir()
+    out = str(tmp_path / "out")
+
+    def chunk(name, recs, nxt):
+        (api / f"chunk-{name}.json").write_text(json.dumps(
+            {"records": recs, "next": nxt}))
+
+    chunk("head", [{"event_id": i} for i in range(3)], "t1")
+    chunk("t1", [{"event_id": 3}, {"event_id": 4}], None)
+
+    def run():
+        q = (
+            spark.readStream.format("grove_paged_api")
+            .option("path", str(api))
+            .option("pagination", "cursor")
+            .option("schema", "event_id bigint")
+            .load()
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == 5
+    # the API grows: t1 gains appended records AND a next link
+    chunk("t1", [{"event_id": 3}, {"event_id": 4}, {"event_id": 5}], "t2")
+    chunk("t2", [{"event_id": 6}, {"event_id": 7}], None)
+    run()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7]  # no loss, no duplicates
+    run()  # idle tick: nothing new, nothing re-emitted
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_http_retry_backoff_on_transient_errors(registered, tmp_path):
+    """Transient 500s are retried with deterministic backoff; a 404 is a
+    config error and fails immediately."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    fails = {"n": 2}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if urlparse(self.path).path.endswith("/nope"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = parse_qs(urlparse(self.path).query)
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            page = int(q["page"][0])
+            recs = [{"event_id": page * 10 + i} for i in range(10)] if page < 2 else []
+            body = json.dumps(recs).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = (
+            registered.read.format("grove_paged_api")
+            .option("transport", "http")
+            .option("url", f"http://127.0.0.1:{srv.server_port}/e")
+            .option("pages", "2")
+            .option("schema", "event_id bigint")
+            .option("backoff_s", "0.05")
+            .load()
+        )
+        assert df.count() == 20  # survived the two 500s
+
+        from grove_spark.sources.api_source import _http_get_json
+        from urllib.error import HTTPError
+        t0 = __import__("time").perf_counter()
+        with pytest.raises(HTTPError):
+            _http_get_json(
+                f"http://127.0.0.1:{srv.server_port}/nope",
+                retries=3, backoff_s=0.2,
+            )
+        # a 404 fails IMMEDIATELY (no 0.2+0.4+0.8s backoff schedule)
+        assert __import__("time").perf_counter() - t0 < 0.2
+    finally:
+        srv.shutdown()
