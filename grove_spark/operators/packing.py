@@ -233,3 +233,85 @@ def mixture_sample(
         .where((F.col("epoch") < F.col("__copies")) | (h < F.col("__thr")))
         .drop("__copies", "__thr")
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring without an external
+    model: a bigram LM with add-k smoothing is trained on ``ref_docs``
+    (the trusted corpus) as two DataFrame aggregations, and every
+    document in ``docs`` is scored by its mean log2 bigram probability —
+    low scores mark text unlike the reference (gibberish, boilerplate,
+    wrong language), the standard perplexity-filter signal.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k * V), with V the
+    reference's bigram-context vocabulary size (distinct first words).
+    Unseen contexts/bigrams get the smoothed floor, so every document
+    scores. Docs with < 2 words have no bigrams: score null.
+
+    Plan shape at 100 TB: two partial-agg shuffles build the count dims,
+    scoring is one explode + two joins keyed on the bigram/context —
+    both dims are vocabulary-sized (<< corpus) and AQE broadcasts them
+    when small; nothing re-shuffles the corpus text.
+    """
+    def bigrams(df):
+        w = F.split(F.col(text_col), " ")
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.get(w, i - 1).alias("w1"),
+                            F.get(w, i).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        ).select(id_col, "bg.w1", "bg.w2")
+
+    ref_bg = bigrams(ref_docs)
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ref_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.count()  # context vocabulary size (tiny scalar)
+
+    scored = (
+        bigrams(docs)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            id_col,
+            (
+                F.log2(
+                    (F.coalesce("c12", F.lit(0)) + F.lit(k))
+                    / (F.coalesce("c1", F.lit(0)) + F.lit(k * vocab))
+                )
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_sum_lp") / F.col("n_bigrams")).alias("mean_log2p"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "mean_log2p",
+        )
+    )

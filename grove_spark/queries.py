@@ -2591,3 +2591,48 @@ GROUP BY event_type
 
 QUERIES.update({"api_source": q_api_source})
 ORACLE.update({"api_source": SQL_API_SOURCE})
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter with no external model: a bigram
+    LM (add-0.5 smoothing) trained on the doc_id%10==0 reference split
+    scores every remaining document by mean log2 bigram probability.
+    The oracle rebuilds the identical counts and float chain; sums of
+    logs agree far inside the gate's 9-significant-digit canon."""
+    from grove_spark.operators.packing import ngram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return ngram_lm_score(corpus, ref)
+
+
+SQL_LM_SCORE = """
+WITH ref AS (SELECT string_split(text, ' ') AS w FROM documents
+             WHERE doc_id % 10 = 0),
+rbg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        FROM ref, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        WHERE len(w) >= 2),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rbg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY w1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM c1),
+corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 <> 0),
+cbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        WHERE len(w) >= 2),
+lp AS (SELECT doc_id,
+              log2((COALESCE(c12, 0) + 0.5)
+                   / (COALESCE(c1, 0) + 0.5 * vocab)) AS lp
+       FROM cbg LEFT JOIN c12 USING (w1, w2)
+                LEFT JOIN c1 USING (w1)
+                CROSS JOIN v),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(lp) / count(*) AS mean_log2p
+        FROM lp GROUP BY doc_id)
+SELECT c.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.mean_log2p
+FROM corpus c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES.update({"lm_score": q_lm_score})
+ORACLE.update({"lm_score": SQL_LM_SCORE})
