@@ -254,10 +254,17 @@ def ngram_lm_score(
     Unseen contexts/bigrams get the smoothed floor, so every document
     scores. Docs with < 2 words have no bigrams: score null.
 
-    Plan shape at 100 TB: two partial-agg shuffles build the count dims,
-    scoring is one explode + two joins keyed on the bigram/context —
-    both dims are vocabulary-sized (<< corpus) and AQE broadcasts them
-    when small; nothing re-shuffles the corpus text.
+    Plan shape at 100 TB: two partial-agg shuffles build the count
+    dims; scoring is one explode + two joins. The c1/vocab dims are
+    context-vocabulary-sized and broadcast, but c12 scales with DISTINCT
+    BIGRAMS — on a web corpus that exceeds the broadcast threshold and
+    the exploded bigram pairs shuffle on (w1, w2). Cap the reference
+    corpus (the LM needs a sample, not the whole lake) or prune
+    singleton bigrams from c12 (they only contribute the smoothed floor,
+    so dropping count-1 entries changes scores by at most
+    log2((1+k)/k) per bigram) before joining at full scale. The vocab
+    size rides along as a broadcast 1-row dim — constructing the
+    operator launches no job.
     """
     def bigrams(df):
         w = F.split(F.col(text_col), " ")
@@ -280,18 +287,20 @@ def ngram_lm_score(
     ref_bg = bigrams(ref_docs)
     c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = ref_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = c1.count()  # context vocabulary size (tiny scalar)
+    vocab = c1.agg(F.count(F.lit(1)).alias("__vocab"))  # 1-row dim, lazy
 
     scored = (
         bigrams(docs)
         .join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             (
                 F.log2(
                     (F.coalesce("c12", F.lit(0)) + F.lit(k))
-                    / (F.coalesce("c1", F.lit(0)) + F.lit(k * vocab))
+                    / (F.coalesce("c1", F.lit(0))
+                       + F.lit(k) * F.col("__vocab"))
                 )
             ).alias("lp"),
         )

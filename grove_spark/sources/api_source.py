@@ -209,6 +209,13 @@ class PagedApiDataSource(DataSource):
         return ddl
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("pagination", "pages") == "cursor":
+            raise ValueError(
+                "cursor pagination is streaming-only: an opaque server-"
+                "issued token chain cannot be planned into parallel "
+                "partitions — use spark.readStream (offsets follow the "
+                "chain) or a numbered-pages endpoint for batch reads"
+            )
         return _PagedApiReader(schema, self.options)
 
     def simpleStreamReader(self, schema: StructType):
@@ -368,6 +375,7 @@ def _http_get_json(url: str, retries: int, backoff_s: float):
     reference's API clients retry transient 5xx/connection errors; the
     executor-side fetch does the same (no jitter: reruns behave
     identically)."""
+    import http.client
     import time
     from urllib.error import HTTPError, URLError
     from urllib.request import urlopen
@@ -377,7 +385,11 @@ def _http_get_json(url: str, retries: int, backoff_s: float):
         try:
             with urlopen(url, timeout=30) as r:
                 return json.loads(r.read())
-        except (HTTPError, URLError, TimeoutError) as e:  # noqa: PERF203
+        # ConnectionError / HTTPException cover READ-phase failures
+        # (reset mid-body, IncompleteRead) that urlopen does not wrap
+        # in URLError — those are transient too
+        except (HTTPError, URLError, TimeoutError, ConnectionError,
+                http.client.HTTPException) as e:  # noqa: PERF203
             if isinstance(e, HTTPError) and e.code < 500 and e.code != 429:
                 raise  # 4xx (except throttling) is a config error, not transient
             last = e
@@ -451,15 +463,27 @@ class _CursorApiStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self.schema.fields]
         out: List[Tuple] = []
         cur, pos = start["cursor"], start.get("pos", 0)
+        seen: set = set()
         while cur is not None:
+            if cur in seen:
+                raise ValueError(
+                    f"cursor chain cycles at {cur!r} during replay — the "
+                    "server reissued tokens; the committed batch cannot be "
+                    "reproduced"
+                )
+            seen.add(cur)
             chunk = _load_chunk(self.options, cur)
             recs = chunk.get("records", [])
             if cur == end["cursor"]:
-                out.extend(
+                return out + [
                     tuple(r.get(n) for n in names)
                     for r in recs[pos:end.get("pos", len(recs))]
-                )
-                break
+                ]
             out.extend(tuple(r.get(n) for n in names) for r in recs[pos:])
             cur, pos = chunk.get("next"), 0
-        return out
+        raise ValueError(
+            f"replay never reached committed cursor {end['cursor']!r} from "
+            f"{start['cursor']!r} — the chain was compacted/rewritten; "
+            "exactly-once replay is impossible (clear the checkpoint to "
+            "restart from a live cursor)"
+        )

@@ -375,3 +375,35 @@ def test_http_retry_backoff_on_transient_errors(registered, tmp_path):
         assert __import__("time").perf_counter() - t0 < 0.2
     finally:
         srv.shutdown()
+
+
+def test_cursor_batch_read_and_broken_replay_are_loud(registered, tmp_path):
+    """Cursor pagination is streaming-only for batch reads; a replay
+    whose committed cursor is unreachable (compacted chain) or whose
+    chain cycles (reissued tokens) raises instead of hanging or
+    silently emitting the wrong batch."""
+    from grove_spark.sources.api_source import _CursorApiStreamReader
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(Exception, match="streaming-only"):
+        (registered.read.format("grove_paged_api")
+         .option("pagination", "cursor").option("path", str(tmp_path))
+         .option("schema", "event_id bigint").load().count())
+
+    api = tmp_path / "api"
+    api.mkdir()
+    (api / "chunk-head.json").write_text(json.dumps(
+        {"records": [{"event_id": 1}], "next": "t1"}))
+    (api / "chunk-t1.json").write_text(json.dumps(
+        {"records": [{"event_id": 2}], "next": "head"}))  # cycle!
+    r = _CursorApiStreamReader(
+        StructType.fromDDL("event_id bigint"), {"path": str(api)}
+    )
+    with pytest.raises(ValueError, match="cycles"):
+        r.readBetweenOffsets({"cursor": "head", "pos": 0},
+                             {"cursor": "gone", "pos": 0})
+    (api / "chunk-t1.json").write_text(json.dumps(
+        {"records": [{"event_id": 2}], "next": None}))
+    with pytest.raises(ValueError, match="never reached"):
+        r.readBetweenOffsets({"cursor": "head", "pos": 0},
+                             {"cursor": "gone", "pos": 0})

@@ -99,9 +99,20 @@ def test_full_pipeline_composes(spark, corpus):
     assert red.where(F.col("doc_id").isin(30, 31)) \
               .where(F.col("text").contains("<EMAIL>")).count() == 2
 
-    # 6. LM scoring: every surviving doc gets a finite score
-    scored = ngram_lm_score(red, red).where(F.col("n_bigrams") > 0)
-    assert scored.where(F.col("mean_log2p").isNull()).count() == 0
+    # 6. LM scoring: every surviving doc is scored, and an
+    # out-of-vocabulary probe scores strictly WORSE than every real doc
+    # (the signal the perplexity filter exists for)
+    oov = spark.createDataFrame(
+        [(9999, "src0", " ".join(f"zz{j}" for j in range(40)))],
+        "doc_id long, source string, text string",
+    )
+    scored = ngram_lm_score(red.unionByName(oov), red)
+    assert scored.count() == red.count() + 1
+    assert scored.where(F.col("n_bigrams") > 0) \
+        .where(F.col("mean_log2p").isNull()).count() == 0
+    rows = {r.doc_id: r.mean_log2p for r in scored.collect()}
+    oov_score = rows.pop(9999)
+    assert all(oov_score < v for v in rows.values() if v is not None)
 
     # 7. mixture to a token budget, 8. pack into trainer bins
     toks = red.select(
@@ -118,6 +129,17 @@ def test_full_pipeline_composes(spark, corpus):
         order_col="doc_id",
     )
     bins = packed.groupBy("source", "bin").agg(F.sum("n_tokens").alias("fill"))
-    # every bin except possibly the last per source is filled past
-    # capacity's straddle rule (cumsum layout): fills are bounded
-    assert bins.where(F.col("fill") <= 0).count() == 0
+    # the straddle rule, actually asserted: with M = max doc tokens,
+    # every NON-LAST bin per source fills to at least capacity - (M-1)
+    # (the boundary doc straddles into the next bin) and no bin exceeds
+    # capacity + (M-1); bins are contiguous from 0
+    M = mixed.agg(F.max("n_tokens")).first()[0]
+    per = {(r["source"], r["bin"]): r["fill"] for r in bins.collect()}
+    last = {s: max(b for (s2, b) in per if s2 == s) for s in
+            {s for (s, _b) in per}}
+    for (src, b), fill in per.items():
+        assert fill <= 512 + (M - 1), (src, b, fill)
+        if b != last[src]:
+            assert fill >= 512 - (M - 1), (src, b, fill)
+    for src, mx in last.items():
+        assert {b for (s2, b) in per if s2 == src} == set(range(mx + 1))
