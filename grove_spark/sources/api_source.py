@@ -73,6 +73,7 @@ def _load_page(options, page: int, watermark, file: str | None = None) -> list:
             f"{options['url']}?{urlencode(q)}",
             int(options.get("retries", 3)),
             float(options.get("backoff_s", 0.2)),
+            float(options.get("max_rps", 0.0)),
         )
     raise ValueError(f"unknown transport {transport!r}")
 
@@ -370,7 +371,29 @@ class _PagedApiWriter(DataSourceWriter):
                     pass
 
 
-def _http_get_json(url: str, retries: int, backoff_s: float):
+_last_request_ts: dict = {}  # per-process pacing state (executor-local)
+
+
+def _pace(max_rps: float) -> None:
+    """Per-task rate limiting (the reference's API clients throttle to
+    the provider's limit; grove/connectors issue one request at a time —
+    here each executor task paces ITSELF, so the cluster-wide rate is
+    max_rps * parallelism: size pages_per_task/partitions accordingly,
+    documented on the reader options)."""
+    import time
+
+    if max_rps <= 0:
+        return
+    now = time.monotonic()
+    wait = _last_request_ts.get("t", 0.0) + 1.0 / max_rps - now
+    if wait > 0:
+        time.sleep(wait)
+        now = time.monotonic()
+    _last_request_ts["t"] = now
+
+
+def _http_get_json(url: str, retries: int, backoff_s: float,
+                   max_rps: float = 0.0):
     """Bounded-retry GET with deterministic exponential backoff — the
     reference's API clients retry transient 5xx/connection errors; the
     executor-side fetch does the same (no jitter: reruns behave
@@ -383,6 +406,7 @@ def _http_get_json(url: str, retries: int, backoff_s: float):
     last = None
     for attempt in range(retries + 1):
         try:
+            _pace(max_rps)
             with urlopen(url, timeout=30) as r:
                 return json.loads(r.read())
         # ConnectionError / HTTPException cover READ-phase failures
@@ -414,6 +438,7 @@ def _load_chunk(options, cursor: str) -> dict:
             url,
             int(options.get("retries", 3)),
             float(options.get("backoff_s", 0.2)),
+            float(options.get("max_rps", 0.0)),
         )
     raise ValueError(f"unknown transport {transport!r}")
 

@@ -407,3 +407,26 @@ def test_cursor_batch_read_and_broken_replay_are_loud(registered, tmp_path):
     with pytest.raises(ValueError, match="never reached"):
         r.readBetweenOffsets({"cursor": "head", "pos": 0},
                              {"cursor": "gone", "pos": 0})
+
+
+def test_max_rps_paces_requests():
+    """max_rps throttles successive fetches in one task: 4 requests at
+    20 rps must take at least ~150 ms; unthrottled they are instant."""
+    import time
+
+    from grove_spark.sources import api_source
+
+    class _Srv:
+        pass
+
+    # pace directly (no network): 4 paced calls at 20 rps
+    api_source._last_request_ts.clear()
+    t0 = time.monotonic()
+    for _ in range(4):
+        api_source._pace(20.0)
+    assert time.monotonic() - t0 >= 0.149
+    api_source._last_request_ts.clear()
+    t0 = time.monotonic()
+    for _ in range(4):
+        api_source._pace(0.0)  # disabled: no sleep
+    assert time.monotonic() - t0 < 0.05
