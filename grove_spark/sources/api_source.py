@@ -37,6 +37,7 @@ from typing import Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     Filter,
     GreaterThan,
@@ -47,6 +48,18 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 DEFAULT_PAGES_PER_TASK = 8
+
+
+def _read_json_file(p: str):
+    """Page files may be gzip-compressed (the reference spools gzip
+    NDJSON; the page spool supports the same, keyed by extension)."""
+    if p.endswith(".gz"):
+        import gzip
+
+        with gzip.open(p, "rt") as f:
+            return json.load(f)
+    with open(p) as f:
+        return json.load(f)
 
 
 class _PageRange(InputPartition):
@@ -61,8 +74,7 @@ def _load_page(options, page: int, watermark, file: str | None = None) -> list:
     transport = options.get("transport", "dir")
     if transport == "dir":
         p = os.path.join(options["path"], file or f"page-{page:05d}.json")
-        with open(p) as f:
-            return json.load(f)
+        return _read_json_file(p)
     if transport == "http":
         from urllib.parse import urlencode
 
@@ -227,6 +239,30 @@ class PagedApiDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return _PagedApiWriter(schema, self.options, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _PagedApiStreamWriter(schema, self.options)
+
+
+class _PagedApiStreamWriter(DataSourceStreamWriter):
+    """Streaming page-spool sink: every micro-batch appends one
+    generation through the same atomic commit as the batch writer, with
+    the epoch id recorded inside the index — a replayed epoch (failure
+    between sink commit and checkpoint advance) is detected there and
+    dropped, so the spool is exactly-once end to end when fed from the
+    paged/cursor stream readers."""
+
+    def __init__(self, schema: StructType, options):
+        self._w = _PagedApiWriter(schema, options, overwrite=False)
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        self._w.commit(messages, batch_id=int(batchId))
+
+    def abort(self, messages, batchId) -> None:
+        self._w.abort(messages)
+
 
 def write_pages(
     records: list,
@@ -289,13 +325,23 @@ class _PagedApiWriter(DataSourceWriter):
         names = [f.name for f in self.schema.fields]
         files, buf, seq = [], [], 0
 
+        compress = self.options.get("compression", "") == "gzip"
+
         def flush():
             nonlocal seq
             if not buf:
                 return
-            tmp = f"_tmp-{pid:05d}-{seq:05d}.json"
-            with open(os.path.join(self.path, tmp), "w") as f:
-                json.dump(buf, f, default=str)
+            ext = ".json.gz" if compress else ".json"
+            tmp = f"_tmp-{pid:05d}-{seq:05d}{ext}"
+            full = os.path.join(self.path, tmp)
+            if compress:
+                import gzip
+
+                with gzip.open(full, "wt") as f:
+                    json.dump(buf, f, default=str)
+            else:
+                with open(full, "w") as f:
+                    json.dump(buf, f, default=str)
             vals = (
                 [r[self.pointer_col] for r in buf
                  if r.get(self.pointer_col) is not None]
@@ -313,7 +359,7 @@ class _PagedApiWriter(DataSourceWriter):
         flush()
         return _PageCommit(files)
 
-    def commit(self, messages) -> None:
+    def commit(self, messages, batch_id=None) -> None:
         # generation-atomic: new pages land under a fresh generation
         # prefix (no collision with live files), the index is REPLACED
         # atomically, and only then are unreferenced page files removed.
@@ -330,16 +376,26 @@ class _PagedApiWriter(DataSourceWriter):
                 if e.get("file", "").startswith("page-g")
             ]
             gen = max(gens, default=-1) + 1
+        if batch_id is not None and any(
+            e.get("batch") == batch_id for e in old_index
+        ):
+            # streaming replay of an already-committed epoch: drop the
+            # temp files, keep the spool as-is (exactly-once via the
+            # batch id recorded INSIDE the atomically-replaced index)
+            self.abort(messages)
+            return
         index, n = ([] if self.overwrite else list(old_index)),             (0 if self.overwrite else len(old_index))
         for msg in messages:
             for tmp, count, mp in msg.files:
-                final = f"page-g{gen:03d}-{n:05d}.json"
+                ext = ".json.gz" if tmp.endswith(".gz") else ".json"
+                final = f"page-g{gen:03d}-{n:05d}{ext}"
                 os.replace(
                     os.path.join(self.path, tmp), os.path.join(self.path, final)
                 )
-                index.append(
-                    {"page": n, "file": final, "max_pointer": mp, "n": count}
-                )
+                entry = {"page": n, "file": final, "max_pointer": mp, "n": count}
+                if batch_id is not None:
+                    entry["batch"] = batch_id
+                index.append(entry)
                 n += 1
         tmp_idx = idx_path + ".tmp"
         with open(tmp_idx, "w") as f:
@@ -428,8 +484,9 @@ def _load_chunk(options, cursor: str) -> dict:
     transport = options.get("transport", "dir")
     if transport == "dir":
         p = os.path.join(options["path"], f"chunk-{cursor}.json")
-        with open(p) as f:
-            return json.load(f)
+        if not os.path.exists(p) and os.path.exists(p + ".gz"):
+            p += ".gz"
+        return _read_json_file(p)
     if transport == "http":
         from urllib.parse import urlencode
 

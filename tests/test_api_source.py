@@ -430,3 +430,71 @@ def test_max_rps_paces_requests():
     for _ in range(4):
         api_source._pace(0.0)  # disabled: no sleep
     assert time.monotonic() - t0 < 0.05
+
+
+def test_gzip_page_compression_roundtrip(registered, tmp_path):
+    """compression=gzip writes .json.gz pages; the reader picks the
+    codec from the extension in the index."""
+    spark = registered
+    out = str(tmp_path / "gz")
+    spark.range(300).selectExpr("id AS event_id", "'x' AS et") \
+        .coalesce(2).write.format("grove_paged_api") \
+        .option("path", out).option("pointer_col", "event_id") \
+        .option("page_size", "100").option("compression", "gzip") \
+        .mode("append").save()
+    assert all(f.endswith(".json.gz") for f in os.listdir(out)
+               if f.startswith("page-"))
+    back = (
+        spark.read.format("grove_paged_api")
+        .option("path", out)
+        .option("schema", "event_id bigint, et string")
+        .option("pointer_col", "event_id")
+        .load()
+    )
+    assert back.count() == 300
+    assert back.where(F.col("event_id") > 249).count() == 50
+
+
+def test_stream_writer_end_to_end_api_to_api(registered, tmp_path):
+    """The full streaming pipe: cursor-API stream IN -> transform ->
+    page-spool stream OUT, with the epoch id inside the atomically-
+    replaced index making replays idempotent."""
+    spark = registered
+    api = tmp_path / "in"
+    api.mkdir()
+    (api / "chunk-head.json").write_text(json.dumps(
+        {"records": [{"event_id": i} for i in range(50)], "next": None}))
+    out = str(tmp_path / "spool")
+
+    def run():
+        q = (
+            spark.readStream.format("grove_paged_api")
+            .option("path", str(api))
+            .option("pagination", "cursor")
+            .option("schema", "event_id bigint")
+            .load()
+            .selectExpr("event_id", "event_id * 2 AS doubled")
+            .writeStream.format("grove_paged_api")
+            .option("path", out)
+            .option("pointer_col", "event_id")
+            .option("page_size", "20")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    back = (
+        spark.read.format("grove_paged_api")
+        .option("path", out)
+        .option("schema", "event_id bigint, doubled bigint")
+        .load()
+    )
+    assert back.count() == 50
+    assert back.agg(F.sum("doubled")).first()[0] == sum(2 * i for i in range(50))
+    run()  # idle restart: no new input, no duplicate pages
+    assert back.count() == 50
+    # epoch ids are recorded in the index entries
+    idx = json.load(open(os.path.join(out, "_index.json")))
+    assert all("batch" in e for e in idx)
