@@ -50,15 +50,20 @@ from pyspark.sql.types import StructType
 DEFAULT_PAGES_PER_TASK = 8
 
 
-def _read_json_file(p: str):
-    """Page files may be gzip-compressed (the reference spools gzip
-    NDJSON; the page spool supports the same, keyed by extension)."""
+def _open_text(p: str, mode: str = "r"):
+    """Extension-keyed codec: one place decides gzip vs plain for BOTH
+    the read and write sides of the page spool."""
     if p.endswith(".gz"):
         import gzip
 
-        with gzip.open(p, "rt") as f:
-            return json.load(f)
-    with open(p) as f:
+        return gzip.open(p, mode + "t")
+    return open(p, mode)
+
+
+def _read_json_file(p: str):
+    """Page files may be gzip-compressed (the reference spools gzip
+    NDJSON; the page spool supports the same, keyed by extension)."""
+    with _open_text(p) as f:
         return json.load(f)
 
 
@@ -240,7 +245,7 @@ class PagedApiDataSource(DataSource):
         return _PagedApiWriter(schema, self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        return _PagedApiStreamWriter(schema, self.options)
+        return _PagedApiStreamWriter(schema, self.options, overwrite)
 
 
 class _PagedApiStreamWriter(DataSourceStreamWriter):
@@ -249,16 +254,54 @@ class _PagedApiStreamWriter(DataSourceStreamWriter):
     the epoch id recorded inside the index — a replayed epoch (failure
     between sink commit and checkpoint advance) is detected there and
     dropped, so the spool is exactly-once end to end when fed from the
-    paged/cursor stream readers."""
+    paged/cursor stream readers.
 
-    def __init__(self, schema: StructType, options):
+    Epoch ids are SCOPED by a nonce that lives in the query's checkpoint
+    directory: batch numbers restart at 0 when a checkpoint is cleared
+    (and collide across independent queries), so a bare batchId would
+    silently drop a fresh query's first epochs as "replays". The nonce
+    resets exactly when the thing that defines replay identity — the
+    checkpoint — resets. Append output mode only (a complete-mode
+    snapshot-per-epoch spool would need overwrite plumbing; rejected
+    loudly)."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool = False):
+        if overwrite:
+            raise ValueError(
+                "grove_paged_api streaming sink supports append output "
+                "mode only (complete mode would re-spool the full result "
+                "every epoch)"
+            )
         self._w = _PagedApiWriter(schema, options, overwrite=False)
+        self._scope = self._scope_nonce(options)
+
+    @staticmethod
+    def _scope_nonce(options) -> str:
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation", ""
+        )
+        if not ckpt:
+            return ""
+        import uuid
+
+        marker = os.path.join(ckpt, "_grove_spool_scope")
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            os.makedirs(ckpt, exist_ok=True)
+            nonce = uuid.uuid4().hex[:12]
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(nonce)
+            os.replace(tmp, marker)
+            return nonce
 
     def write(self, iterator):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId) -> None:
-        self._w.commit(messages, batch_id=int(batchId))
+        self._w.commit(messages, batch_id=f"{self._scope}:{int(batchId)}")
 
     def abort(self, messages, batchId) -> None:
         self._w.abort(messages)
@@ -334,14 +377,8 @@ class _PagedApiWriter(DataSourceWriter):
             ext = ".json.gz" if compress else ".json"
             tmp = f"_tmp-{pid:05d}-{seq:05d}{ext}"
             full = os.path.join(self.path, tmp)
-            if compress:
-                import gzip
-
-                with gzip.open(full, "wt") as f:
-                    json.dump(buf, f, default=str)
-            else:
-                with open(full, "w") as f:
-                    json.dump(buf, f, default=str)
+            with _open_text(full, "w") as f:
+                json.dump(buf, f, default=str)
             vals = (
                 [r[self.pointer_col] for r in buf
                  if r.get(self.pointer_col) is not None]
@@ -401,6 +438,17 @@ class _PagedApiWriter(DataSourceWriter):
         with open(tmp_idx, "w") as f:
             json.dump(index, f)
         os.replace(tmp_idx, idx_path)
+        # commit runs after every task of THIS (single) writer finished:
+        # any _tmp-* still on disk belongs to a task that died without a
+        # commit message — sweep it (the spool is single-writer by
+        # contract; concurrent writers to one path are undefined)
+        committed = {t for m in messages if m is not None for t, _, _ in m.files}
+        for f in os.listdir(self.path):
+            if f.startswith("_tmp-") and f not in committed:
+                try:
+                    os.unlink(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
         # sweep only files referenced by NEITHER the new nor the old
         # index: a reader that planned against the old index keeps its
         # files until the NEXT commit (the docstring's contract) — the
@@ -419,7 +467,11 @@ class _PagedApiWriter(DataSourceWriter):
                     pass
 
     def abort(self, messages) -> None:
+        # a FAILED task's commit message is None (the DataSource
+        # contract) — abort is called precisely then, so skip them
         for msg in messages:
+            if msg is None:
+                continue
             for tmp, _, _ in msg.files:
                 try:
                     os.unlink(os.path.join(self.path, tmp))
@@ -430,7 +482,7 @@ class _PagedApiWriter(DataSourceWriter):
 _last_request_ts: dict = {}  # per-process pacing state (executor-local)
 
 
-def _pace(max_rps: float) -> None:
+def _pace(max_rps: float, key: str = "") -> None:
     """Per-task rate limiting (the reference's API clients throttle to
     the provider's limit; grove/connectors issue one request at a time —
     here each executor task paces ITSELF, so the cluster-wide rate is
@@ -441,15 +493,18 @@ def _pace(max_rps: float) -> None:
     if max_rps <= 0:
         return
     now = time.monotonic()
-    wait = _last_request_ts.get("t", 0.0) + 1.0 / max_rps - now
+    wait = _last_request_ts.get(key, 0.0) + 1.0 / max_rps - now
     if wait > 0:
         time.sleep(wait)
         now = time.monotonic()
-    _last_request_ts["t"] = now
+    _last_request_ts[key] = now
 
 
 def _http_get_json(url: str, retries: int, backoff_s: float,
                    max_rps: float = 0.0):
+    from urllib.parse import urlsplit
+
+    pace_key = urlsplit(url).netloc  # per-endpoint budget, not global
     """Bounded-retry GET with deterministic exponential backoff — the
     reference's API clients retry transient 5xx/connection errors; the
     executor-side fetch does the same (no jitter: reruns behave
@@ -462,7 +517,7 @@ def _http_get_json(url: str, retries: int, backoff_s: float,
     last = None
     for attempt in range(retries + 1):
         try:
-            _pace(max_rps)
+            _pace(max_rps, pace_key)
             with urlopen(url, timeout=30) as r:
                 return json.loads(r.read())
         # ConnectionError / HTTPException cover READ-phase failures

@@ -416,9 +416,6 @@ def test_max_rps_paces_requests():
 
     from grove_spark.sources import api_source
 
-    class _Srv:
-        pass
-
     # pace directly (no network): 4 paced calls at 20 rps
     api_source._last_request_ts.clear()
     t0 = time.monotonic()
@@ -498,3 +495,37 @@ def test_stream_writer_end_to_end_api_to_api(registered, tmp_path):
     # epoch ids are recorded in the index entries
     idx = json.load(open(os.path.join(out, "_index.json")))
     assert all("batch" in e for e in idx)
+
+
+def test_stream_writer_cleared_checkpoint_is_not_a_replay(registered, tmp_path):
+    """Epoch dedup is scoped by a checkpoint-resident nonce: clearing
+    the checkpoint restarts batch numbering at 0, and a bare-batchId
+    dedup would silently DROP the fresh query's first epoch as a
+    'replay'. With the nonce, the second query's data lands."""
+    import shutil
+
+    spark = registered
+    api = tmp_path / "in2"
+    api.mkdir()
+    (api / "chunk-head.json").write_text(json.dumps(
+        {"records": [{"event_id": 1}], "next": None}))
+    out, ckpt = str(tmp_path / "spool2"), str(tmp_path / "ckpt2")
+
+    def run():
+        q = (
+            spark.readStream.format("grove_paged_api")
+            .option("path", str(api)).option("pagination", "cursor")
+            .option("schema", "event_id bigint").load()
+            .writeStream.format("grove_paged_api").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    shutil.rmtree(ckpt)  # user resets the query
+    run()  # batchId 0 again — must APPEND, not be dropped as a replay
+    idx = json.load(open(os.path.join(out, "_index.json")))
+    scopes = {e["batch"].split(":")[0] for e in idx}
+    assert len(scopes) == 2  # two distinct query scopes
+    assert sum(e["n"] for e in idx) == 2
