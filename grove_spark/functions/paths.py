@@ -13,6 +13,16 @@ JMESPath list indexing ``a[0].b`` and comparison expressions
 ``path <op> literal`` (compile_predicate) so reference configs using the
 richer JMESPath surface (grove/processors/filter_entries.py:44,
 extract_paths.py:86) port verbatim.
+
+Documented deviation (jmespath.py Pratt-precedence artifact): in the
+reference library a bracket FILTER chained after a projection binds to
+the projection's REALIZED result (``events[?A].tags[?B]`` filters the
+outer list of tag-lists — almost always ``[]``), while index/slice/
+wild/flatten chain per element. This compiler chains ALL brackets per
+element uniformly (``events[?A].tags[?B]`` filters each tags list, the
+same way ``events[*].tags[?B]`` behaves in the library). The uniform
+rule is what the randomized parity suite quantifies over; the library's
+asymmetric case is excluded there and called out here.
 """
 
 from __future__ import annotations

@@ -428,3 +428,99 @@ def test_schema_less_flatten_is_loud_everywhere():
         T.StructField("b", T.ArrayType(T.LongType()))])))])
     path_col("a[].b", schema)
     path_col("a[*].b[]", schema)
+
+
+# ---------------------------------------------------------------------------
+# randomized expression generation over the SUPPORTED grammar — every
+# generated expression must match the public jmespath library (not just
+# the curated EXPRS list)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_EV_PRED = st.sampled_from([
+    "name == 'login'", "name != 'read'", "tags", "!tags",
+    "contains(tags, 'c')", "length(tags) >= `1`",
+    "name == 'login' || name == 'logout'",
+    "(name == 'read') && tags", "!(name == 'login')",
+    "tags[?@ == 'a']",
+])
+_EV_SUFFIX = st.one_of(
+    st.just(""),
+    st.sampled_from(["[0]", "[-1]", "[2]", "[*]", "[]", "[0:2]", "[1:]",
+                     "[:1]", "[-2:]"]),
+    _EV_PRED.map(lambda p: f"[?{p}]"),
+)
+_TAG_SUFFIX = st.sampled_from(
+    ["", "[0]", "[-1]", "[*]", "[]", "[0:1]", "[?@ == 'a']"]
+)
+_PROJECTING = ("[*]", "[]", "[0:2]", "[1:]", "[:1]", "[-2:]")
+
+
+def _compose(s, l):
+    # documented deviation: a bracket FILTER chained after a projection
+    # binds to the realized outer list in jmespath.py (Pratt-precedence
+    # artifact) but per-element here — exclude exactly that case
+    if (s.startswith("[?") or s in _PROJECTING) and "[?" in l:
+        l = ".name"
+    return "events" + s + l
+
+
+_LEAF = st.one_of(
+    st.just(""),
+    st.just(".name"),
+    _TAG_SUFFIX.map(lambda t: ".tags" + t),
+)
+_BASE = st.builds(_compose, _EV_SUFFIX, _LEAF)
+_PIPE_RHS = st.sampled_from(["[0]", "[-1]", "[0:1]", "length(@)"])
+_EXPR = st.one_of(
+    _BASE,
+    st.builds(lambda e, p: f"{e} | {p}", _BASE, _PIPE_RHS),
+    st.sampled_from(["outcome.result", "outcome.score", "id",
+                     "length(events)", "{r: outcome.result, n: id}"]),
+)
+
+
+def _lenient(v):
+    """Normalize the DOCUMENTED lenient-null deviation: jmespath
+    projections DROP null per-element results, the typed compilation
+    keeps them (a projection over events[*].tags[0] yields None for an
+    empty tags list). Stripping Nones inside lists on both sides
+    compares everything else exactly."""
+    if isinstance(v, list):
+        return [_lenient(x) for x in v if x is not None]
+    return v
+
+
+@given(exprs=st.lists(_EXPR, min_size=1, max_size=12, unique=True))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_randomized_expressions_match_jmespath(df, exprs):
+    from grove_spark.functions.paths import compile_expr
+
+    cols, live = [], []
+    for i, e in enumerate(exprs):
+        # a pipe whose LHS projection is typed array<null> (e.g. only
+        # null elements possible) may not compile a RHS — compile_expr
+        # returning None means jmespath-null for every row
+        sub = compile_expr(SCHEMA, e)
+        if sub is None:
+            for row in DICT_ROWS:
+                assert _jp(e, row) is None, e
+            continue
+        cols.append(sub[0].alias(f"e{i}"))
+        live.append((i, e))
+    assume(live)
+    got = df.select(F.col("id"), *[c for c in cols]).collect()
+    for r in got:
+        want_row = next(d for d in DICT_ROWS if d["id"] == r["id"])
+        for i, e in live:
+            want = _jp(e, want_row)
+            have = _plain(r[f"e{i}"])
+            if want is None and isinstance(have, dict):
+                assert all(v is None for v in have.values()), e
+                continue
+            assert _lenient(have) == _lenient(want), (
+                f"{e} on id={r['id']}: spark={have} jmespath={want}"
+            )
