@@ -781,6 +781,16 @@ def compile_expr(
                     .cast("long"),
                     T.LongType(),
                 )
+            if isinstance(t, T.StructType):
+                # jmespath length(object) = number of keys; a struct's
+                # field count is static per schema, so this is a literal
+                # guarded by the same lenient null-in/null-out rule
+                return (
+                    F.when(col.isNull(), F.lit(None))
+                    .otherwise(F.lit(len(t.fields)))
+                    .cast("long"),
+                    T.LongType(),
+                )
             raise ValueError(f"length() over {t} (invalid-type in jmespath)")
         if fn in ("contains", "starts_with", "ends_with") and len(args) == 2:
             s1 = compile_expr(schema, args[0], quoted_is_field=False, base=base)

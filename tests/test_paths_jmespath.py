@@ -152,6 +152,9 @@ EXPRS = [
     "length(events)",
     "length(outcome.result)",
     "length(events[0].tags)",
+    "length(outcome)",          # length(object) = key count
+    "events[0] | length(@)",    # the round-3 fuzz counterexample
+    "outcome | length(@)",
     "contains(events[0].tags, 'a')",
     "starts_with(outcome.result, 'FAIL')",
     "ends_with(outcome.result, 'ESS')",
