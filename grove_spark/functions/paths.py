@@ -128,15 +128,23 @@ def _split_indices(segment: str) -> Tuple[str, List]:
         elif raw.startswith("?"):
             idxs.append(("?", raw[1:].strip()))
         elif ":" in raw:
-            a, _, b = raw.partition(":")
+            parts = raw.split(":")
             try:
-                idxs.append((int(a) if a else None, int(b) if b else None))
+                if len(parts) > 3:
+                    raise ValueError
+                vals = [int(p) if p.strip() else None for p in parts]
             except ValueError:
                 raise ValueError(
                     f"unsupported slice [{raw}] in segment {segment!r} "
-                    "(only [a:b] with integer bounds compiles; stepped "
-                    "[a:b:s] does not)"
+                    "(only [a:b] / [a:b:s] with integer bounds compiles)"
                 ) from None
+            step = vals[2] if len(vals) == 3 else None
+            if step == 0:
+                # jmespath raises invalid-value for a zero step
+                raise ValueError(
+                    f"slice step cannot be 0 in segment {segment!r}"
+                )
+            idxs.append((vals[0], vals[1], step))
         else:
             try:
                 idxs.append(int(raw))
@@ -155,6 +163,11 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
     for part, quoted in _split_flagged(path):
         if quoted:
             toks.append(("field", part))
+            continue
+        if part == "*":
+            # object wildcard: project over the VALUES of an object
+            # (jmespath ``a.*.b``); list wildcard stays ``a[*]``
+            toks.append(("owild", None))
             continue
         base, idxs = _split_indices(part)
         if "[" in base or "]" in base:
@@ -197,9 +210,17 @@ def _apply_cmp(col: Column, op: str, value) -> Column:
     return col < F.lit(value)
 
 
-def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
+def _slice_col(
+    col: Column, a: int | None, b: int | None, s: int | None = None
+) -> Column:
     """JMESPath slice == Python slice semantics (negatives from the end,
-    out-of-range clamps) as pure Column arithmetic."""
+    out-of-range clamps, optional step) as pure Column arithmetic.
+
+    The unit step compiles to one ``F.slice``; a stepped slice keeps the
+    positions whose offset from the normalized start is a multiple of the
+    step (``F.filter`` with the element-index lambda — still a single
+    codegen'd projection, no Python). A negative step walks the reversed
+    array the same way."""
     n = F.size(col)
 
     def norm(v, default):
@@ -208,10 +229,89 @@ def _slice_col(col: Column, a: int | None, b: int | None) -> Column:
         lit = F.lit(v)
         return F.greatest(n + lit, F.lit(0)) if v < 0 else F.least(lit, n)
 
-    start = norm(a, F.lit(0))
-    stop = norm(b, n)
-    length = F.greatest(stop - start, F.lit(0))
-    return F.slice(col, start + F.lit(1), length)
+    if s is None or s == 1:
+        start = norm(a, F.lit(0))
+        stop = norm(b, n)
+        length = F.greatest(stop - start, F.lit(0))
+        return F.slice(col, start + F.lit(1), length)
+
+    if s > 1:
+        start = norm(a, F.lit(0))
+        stop = norm(b, n)
+        return F.filter(
+            col,
+            lambda x, i: (i >= start) & (i < stop)
+            & ((i - start) % F.lit(s) == 0),
+        )
+
+    # negative step: python slice.indices() — defaults start=n-1,
+    # stop=-1 (exclusive), both clamped into [-1, n-1]
+    def norm_neg(v, default):
+        if v is None:
+            return default
+        lit = F.lit(v)
+        if v < 0:
+            return F.greatest(n + lit, F.lit(-1))
+        return F.least(lit, n - F.lit(1))
+
+    start = norm_neg(a, n - F.lit(1))
+    stop = norm_neg(b, F.lit(-1))
+    step = F.lit(-s)
+    # walk the reversed array: reversed position j holds original index
+    # n-1-j; keep i <= start, i > stop, (start - i) % |s| == 0
+    return F.filter(
+        F.reverse(col),
+        lambda x, j: ((n - F.lit(1) - j) <= start)
+        & ((n - F.lit(1) - j) > stop)
+        & ((start - (n - F.lit(1) - j)) % step == 0),
+    )
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType)
+
+
+def _struct_common_type(t: T.StructType) -> T.DataType | None:
+    """The element type of a struct's value list (jmespath object
+    wildcard): identical field types pass through; mixed numerics
+    promote (double if any fractional, else long); anything else has no
+    typed-array representation and the caller raises loudly."""
+    types = [f.dataType for f in t.fields]
+    if not types:
+        return None
+    if all(tt == types[0] for tt in types):
+        return types[0]
+    if all(isinstance(tt, _NUMERIC) for tt in types):
+        if any(isinstance(tt, (T.FloatType, T.DoubleType)) for tt in types):
+            return T.DoubleType()
+        return T.LongType()
+    return None
+
+
+def _owild_values(col: Column, dtype: T.DataType):
+    """(values-array column, element type) for an object wildcard, or
+    None when ``dtype`` is not an object (jmespath yields null)."""
+    if isinstance(dtype, T.MapType):
+        return F.map_values(col), dtype.valueType
+    if isinstance(dtype, T.StructType):
+        ct = _struct_common_type(dtype)
+        if ct is None:
+            raise ValueError(
+                "object wildcard over a heterogeneous struct "
+                f"({dtype.simpleString()}) has no typed array "
+                "representation in Spark — project the fields "
+                "explicitly (documented deviation)"
+            )
+        vals = [
+            col.getField(f.name).cast(ct) if f.dataType != ct
+            else col.getField(f.name)
+            for f in dtype.fields
+        ]
+        return (
+            F.when(col.isNull(), F.lit(None)).otherwise(F.array(*vals)),
+            ct,
+        )
+    return None
 
 
 def _compile_tokens(
@@ -248,6 +348,19 @@ def _compile_tokens(
                 # INVALID_ARRAY_INDEX_IN_ELEMENT_AT in Spark 4)
                 col = F.try_element_at(col, F.lit(v))
             dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+        elif kind == "owild":
+            if dtype is None:
+                raise ValueError(
+                    "object wildcard (.*) needs type information — "
+                    "compile through a schema-aware entry point "
+                    "(path_col(schema=...) / compile_expr)"
+                )
+            ow = _owild_values(col, dtype)
+            if ow is None:
+                # jmespath: object projection over a non-object is null
+                return F.lit(None)
+            vals, elem = ow
+            return _project(vals, toks[t + 1:], elem)
         else:  # wildcard / slice / filter / flatten projection
             elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
             if kind == "slice":
@@ -460,6 +573,18 @@ def path_col(path: str, schema: T.StructType | None = None) -> Column:
     truthiness, functions, ``&&``/``||``/``!``) inside ``[?...]``."""
     toks = _tokens(path)
     kind, base = toks[0]
+    if kind == "owild":
+        # bare ``*``: project over the values of the ROW itself
+        if not isinstance(schema, T.StructType):
+            raise ValueError(
+                "top-level object wildcard (*) needs a schema — "
+                "compile through path_col(schema=...) / compile_expr"
+            )
+        ow = _owild_values(F.struct(*[
+            F.col("`%s`" % f.name.replace("`", "")) for f in schema.fields
+        ]).alias("__row"), schema)
+        vals, elem = ow
+        return _project(vals, toks[1:], elem)
     col = F.col("`%s`" % str(base).replace("`", ""))
     dtype: T.DataType | None = None
     if isinstance(schema, T.StructType):
@@ -494,6 +619,19 @@ def _walk_type(
             if not isinstance(current, T.ArrayType):
                 return None
             current = current.elementType
+        elif kind == "owild":
+            if isinstance(current, T.MapType):
+                return _project_type(current.valueType, toks[i + 1:])
+            if isinstance(current, T.StructType):
+                ct = _struct_common_type(current)
+                if ct is None:
+                    raise ValueError(
+                        "object wildcard over a heterogeneous struct "
+                        f"({current.simpleString()}) has no typed array "
+                        "representation in Spark (documented deviation)"
+                    )
+                return _project_type(ct, toks[i + 1:])
+            return None  # jmespath: object projection over non-object
         else:  # wild / slice / filt / flat: project the remainder
             if not isinstance(current, T.ArrayType):
                 return None

@@ -25,14 +25,21 @@ SCHEMA = T.StructType([
         T.StructField("name", T.StringType()),
         T.StructField("tags", T.ArrayType(T.StringType())),
     ]))),
+    # mixed-NUMERIC struct: the object wildcard promotes to double
+    T.StructField("metrics", T.StructType([
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ])),
 ])
 
 ROWS = [
     (1, {"result": "FAILURE", "score": 0.9},
-     [{"name": "login", "tags": ["a", "b"]}, {"name": "logout", "tags": ["c"]}]),
+     [{"name": "login", "tags": ["a", "b"]}, {"name": "logout", "tags": ["c"]}],
+     {"lat": 0.25, "cnt": 7}),
     (2, {"result": "SUCCESS", "score": 0.2},
-     [{"name": "read", "tags": []}]),
-    (3, None, None),
+     [{"name": "read", "tags": []}],
+     {"lat": 1.5, "cnt": 2}),
+    (3, None, None, None),
 ]
 
 
@@ -132,10 +139,12 @@ jmespath = pytest.importorskip("jmespath")
 DICT_ROWS = [
     {"id": 1, "outcome": {"result": "FAILURE", "score": 0.9},
      "events": [{"name": "login", "tags": ["a", "b"]},
-                {"name": "logout", "tags": ["c"]}]},
+                {"name": "logout", "tags": ["c"]}],
+     "metrics": {"lat": 0.25, "cnt": 7}},
     {"id": 2, "outcome": {"result": "SUCCESS", "score": 0.2},
-     "events": [{"name": "read", "tags": []}]},
-    {"id": 3, "outcome": None, "events": None},
+     "events": [{"name": "read", "tags": []}],
+     "metrics": {"lat": 1.5, "cnt": 2}},
+    {"id": 3, "outcome": None, "events": None, "metrics": None},
 ]
 
 EXPRS = [
@@ -193,6 +202,22 @@ EXPRS = [
     "events | [?tags[?@ == 'c']].name",
     "events | [?name == 'read'].name",
     "events | [0:1].name | [0]",
+    # round 4: stepped slices (python slice.indices semantics)
+    "events[::2].name",
+    "events[::-1].name",
+    "events[1::2].name",
+    "events[:1:2].name",
+    "events[-1::-1].name",
+    "events[::-2].name",
+    "events[0].tags[::-1]",
+    "events[0].tags[::2]",
+    "events[*].name | [::-1]",
+    "events[::-1].name | [0]",
+    # round 4: object wildcard (values projection; numeric promotion)
+    "metrics.*",
+    "metrics.* | [0]",
+    "length(metrics.*)",
+    "metrics.* | [::-1]",
 ]
 
 
@@ -248,6 +273,14 @@ def test_randomized_slices_match_jmespath(df):
             sb = "" if b is None else str(b)
             cases.append(f"events[{sa}:{sb}].name")
             cases.append(f"events[0].tags[{sa}:{sb}]")
+    # every (a, b, s) with an explicit step — python slice.indices parity
+    for a in [None, -3, -1, 0, 1, 3]:
+        for b in [None, -3, -1, 0, 1, 3]:
+            for s in [-3, -2, -1, 1, 2, 3]:
+                sa = "" if a is None else str(a)
+                sb = "" if b is None else str(b)
+                cases.append(f"events[{sa}:{sb}:{s}].name")
+                cases.append(f"events[0].tags[{sa}:{sb}:{s}]")
     cols = [compile_expr(SCHEMA, e)[0].alias(f"c{i}") for i, e in enumerate(cases)]
     got = df.select(F.col("id"), *cols).collect()
     for r in got:
@@ -377,12 +410,15 @@ def test_malformed_bracket_syntax_is_loud():
     from grove_spark.functions.paths import path_col
 
     path_col("a[?tags[0] == 'x'].name")  # supported since the scanner
+    path_col("a[1:9:2]")  # stepped slices compile since round 4
     with pytest.raises(ValueError, match="unparseable index"):
         path_col("a[?tags[0 == 'x'].name")  # unbalanced bracket
     with pytest.raises(ValueError, match="unparseable index"):
         path_col("a[0]junk.name")  # trailing garbage after a group
+    with pytest.raises(ValueError, match="step cannot be 0"):
+        path_col("a[1:9:0]")
     with pytest.raises(ValueError, match="unsupported slice"):
-        path_col("a[1:9:2]")
+        path_col("a[1:2:3:4]")
 
 
 def test_multiselect_quoted_key_and_slice_value(df):
@@ -410,8 +446,49 @@ def test_empty_string_literal_and_stepped_slice_message(spark, df):
     # double quotes force a literal even when a same-named field exists
     col2, _ = compile_expr(SCHEMA, '"id"')
     assert df.select(col2.alias("x")).first()["x"] == "id"
-    with pytest.raises(ValueError, match="unsupported slice"):
-        path_col("a[1:9:2]")
+    with pytest.raises(ValueError, match="step cannot be 0"):
+        path_col("a[1:9:0]")
+
+
+def test_object_wildcard_semantics(spark, df):
+    """Heterogeneous structs are a loud documented deviation; maps
+    project their values; non-objects compile to jmespath-null."""
+    from grove_spark.functions.paths import compile_expr
+
+    with pytest.raises(ValueError, match="heterogeneous"):
+        compile_expr(SCHEMA, "outcome.*")
+    with pytest.raises(ValueError, match="heterogeneous"):
+        compile_expr(SCHEMA, "events[0].*")
+
+    # non-object operand: compile_expr -> None == null for every row,
+    # matching the library
+    assert compile_expr(SCHEMA, "id.*") is None
+    assert jmespath.search("id.*", DICT_ROWS[0]) is None
+    assert compile_expr(SCHEMA, "events.*") is None
+    assert jmespath.search("events.*", DICT_ROWS[0]) is None
+
+    # map values: * projects over values (the dict analog the library
+    # sees every time)
+    mschema = T.StructType([
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    mdf = spark.createDataFrame([({"a": 1, "b": 2},), (None,)], mschema)
+    col, t = compile_expr(mschema, "m.*")
+    got = [r["x"] for r in mdf.select(col.alias("x")).collect()]
+    assert sorted(got[0]) == [1, 2] and got[1] is None
+    assert isinstance(t, T.ArrayType) and isinstance(t.elementType, T.LongType)
+    # remainder projects over the values
+    col2, _ = compile_expr(mschema, "length(m.*)")
+    assert mdf.select(col2.alias("x")).first()["x"] == 2
+
+    # top-level * over a homogeneous row
+    hschema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.LongType()),
+    ])
+    hdf = spark.createDataFrame([(1, 2)], hschema)
+    col3, t3 = compile_expr(hschema, "*")
+    assert jmespath.search("*", {"a": 1, "b": 2}) == [1, 2]
+    assert list(hdf.select(col3.alias("x")).first()["x"]) == [1, 2]
 
 
 def test_schema_less_flatten_is_loud_everywhere():
@@ -452,13 +529,16 @@ _EV_PRED = st.sampled_from([
 _EV_SUFFIX = st.one_of(
     st.just(""),
     st.sampled_from(["[0]", "[-1]", "[2]", "[*]", "[]", "[0:2]", "[1:]",
-                     "[:1]", "[-2:]"]),
+                     "[:1]", "[-2:]",
+                     "[::2]", "[::-1]", "[1::2]", "[-1::-1]", "[::-2]"]),
     _EV_PRED.map(lambda p: f"[?{p}]"),
 )
 _TAG_SUFFIX = st.sampled_from(
-    ["", "[0]", "[-1]", "[*]", "[]", "[0:1]", "[?@ == 'a']"]
+    ["", "[0]", "[-1]", "[*]", "[]", "[0:1]", "[?@ == 'a']",
+     "[::-1]", "[::2]"]
 )
-_PROJECTING = ("[*]", "[]", "[0:2]", "[1:]", "[:1]", "[-2:]")
+_PROJECTING = ("[*]", "[]", "[0:2]", "[1:]", "[:1]", "[-2:]",
+               "[::2]", "[::-1]", "[1::2]", "[-1::-1]", "[::-2]")
 
 
 def _compose(s, l):
@@ -484,12 +564,15 @@ _LEAF = st.one_of(
     _TAG_SUFFIX.map(lambda t: ".tags" + t),
 )
 _BASE = st.builds(_compose, _EV_SUFFIX, _LEAF)
-_PIPE_RHS = st.sampled_from(["[0]", "[-1]", "[0:1]", "length(@)"])
+_PIPE_RHS = st.sampled_from(["[0]", "[-1]", "[0:1]", "length(@)",
+                             "[::-1]", "[::2]"])
 _EXPR = st.one_of(
     _BASE,
     st.builds(lambda e, p: f"{e} | {p}", _BASE, _PIPE_RHS),
     st.sampled_from(["outcome.result", "outcome.score", "id",
-                     "length(events)", "{r: outcome.result, n: id}"]),
+                     "length(events)", "{r: outcome.result, n: id}",
+                     "metrics.*", "metrics.* | [0]", "length(metrics.*)",
+                     "metrics.* | [::-1]", "metrics.lat", "metrics.cnt"]),
 )
 
 
