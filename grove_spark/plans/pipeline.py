@@ -197,7 +197,33 @@ def run_incremental(
     seen = state.seen_hashes(key)
     run_id = state.new_run_id()
 
-    sequences = spark.read.parquet(sequences_path)
+    # file-level pruning (S6's Iceberg analog): skip whole source files
+    # whose footer max is behind the watermark BEFORE the reader lists
+    # them. Footer stats are cached in the state dir keyed by
+    # (path, mtime, size), so a resumed run over an append-only source
+    # pays one footer read per NEW file only. INCLUSIVE keep (max >=
+    # watermark) because the boundary file's equal-pointer rows are
+    # re-read for the seen-hash anti-join.
+    import os as _os
+
+    prune_metrics = None
+    if watermark is not None:
+        from grove_spark.sources.file_stats import FileStatsCache, prune_files
+
+        cache = FileStatsCache(_os.path.join(state.root, "filestats"))
+        kept, total = prune_files(
+            sequences_path, pointer_col, watermark, inclusive=True,
+            cache=cache,
+        )
+        prune_metrics = {"files_kept": len(kept), "files_total": total}
+        if kept:
+            sequences = (
+                spark.read.option("basePath", sequences_path).parquet(*kept)
+            )
+        else:
+            sequences = spark.read.parquet(sequences_path).where(F.lit(False))
+    else:
+        sequences = spark.read.parquet(sequences_path)
     seen_df = None
     if watermark is not None and seen:
         seen_df = spark.createDataFrame(
@@ -224,11 +250,21 @@ def run_incremental(
     # skip empty collections entirely, like the reference does for empty
     # streams (grove/connectors/__init__.py:358-366) — a 0-row dynamic
     # partition write would publish a schemaless, unreadable directory
+    out_stats = None
     if out_path and counts_rows:
         run_dir = f"{out_path}/part-{run_id}"
         state.register_pending(run_dir)  # orphan GC must not race the write
         write_partitioned_parquet(result.routed, run_dir)
         data_paths.append(run_dir)
+        # writer-side stats collection: one footer read per file just
+        # written, recorded IN the commit — downstream manifest_scan
+        # consumers prune these outputs without re-opening footers
+        from grove_spark.sources.file_stats import (
+            _list_parquet,
+            parquet_file_stats,
+        )
+
+        out_stats = parquet_file_stats(_list_parquet(run_dir), pointer_col)
     # boundary state for the NEXT run: hashes of rows AT the new max
     # pointer (native-type max — see boundary_hashes). One small job over
     # the predicate-pruned batch; the pointer string is Spark's own cast,
@@ -252,6 +288,8 @@ def run_incremental(
     metrics = {
         "per_sink": {r["descriptor"]: {"rows": r["rows"], "sum_n_tok": r["sum_n_tok"]} for r in counts_rows},
     }
+    if prune_metrics is not None:
+        metrics["scan"] = prune_metrics
     if result.observed is not None and counts_rows:
         # Observation.get asserts on a 0-row observed plan; an empty run
         # has nothing to observe anyway
@@ -260,7 +298,7 @@ def run_incremental(
     state.commit(
         key, run_id,
         pointer=new_ptr, seen=new_seen, metrics=metrics, data_paths=data_paths,
-        expected_version=base_version,
+        expected_version=base_version, file_stats=out_stats,
     )
     result.deduped.unpersist()
     result.run_id = run_id

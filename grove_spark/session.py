@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # modern parquet timestamps: INT96 (Spark's legacy default)
+        # carries NO footer min/max statistics, which blinds file-level
+        # pruning (sources/file_stats.py) and row-group skipping on
+        # every timestamp pointer. Iceberg forbids INT96 outright.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # duplicate map keys keep the LAST value — matches Python dict
         # assignment order in the reference's zip_paths (zip_paths.py:100)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -36,9 +36,11 @@ def incremental_scan(
     now: Optional[dt.datetime] = None,
     fmt: str = "parquet",
     lookback_s: int = 0,
+    prune: bool = False,
+    stats_cache=None,
 ) -> DataFrame:
-    """Watermarked incremental scan with optional consistency delay and
-    lookback re-scan.
+    """Watermarked incremental scan with optional consistency delay,
+    lookback re-scan and file-level pruning.
 
     ``watermark`` (exclusive lower bound) comes from run-state; ``delay_s``
     imposes the reference's late-data ceiling ``end = now - delay``
@@ -47,10 +49,78 @@ def incremental_scan(
     ``late_buffer_days`` re-scan, bigquery_query.py:241-260) — rows in
     the overlap are re-read and must be deduplicated downstream by
     content hash (dedup_by_hash with window-wide seen state). All
-    predicates push down to the file scan (PushedFilters)."""
-    from grove_spark.operators.dedup import watermark_literal
+    predicates push down to the file scan (PushedFilters).
+
+    ``prune=True`` (parquet only) additionally skips WHOLE FILES whose
+    footer min/max cannot intersect the watermark/ceiling window, before
+    the reader ever lists them — the Iceberg manifest-pruning analog
+    (sources/file_stats.py). ``stats_cache`` (a FileStatsCache or a
+    directory path) keeps footer reads incremental across runs: only
+    new/changed files are opened. The row predicate stays on the scan —
+    pruning changes cost, never results. The pruning decision is
+    surfaced on the returned frame as ``df._grove_prune =
+    {files_kept, files_total}``."""
+    prune_info = None
+    ceiling_py = None
+    if delay_s > 0:
+        _now = now or dt.datetime.now(dt.timezone.utc)
+        ceiling_py = (_now - dt.timedelta(seconds=delay_s)).replace(tzinfo=None)
+    if prune and fmt == "parquet" and (watermark is not None or ceiling_py is not None):
+        from grove_spark.sources.file_stats import (
+            FileStatsCache,
+            _to_comparable,
+            prune_files,
+        )
+
+        if isinstance(stats_cache, str):
+            stats_cache = FileStatsCache(stats_cache)
+        if stats_cache is not None:
+            stats = stats_cache.stats_for(path, pointer_col)
+        else:
+            from grove_spark.sources.file_stats import (
+                _list_parquet,
+                parquet_file_stats,
+            )
+
+            stats = parquet_file_stats(_list_parquet(path), pointer_col)
+        wm = watermark
+        if wm is not None and lookback_s > 0:
+            kind = next((e.get("kind") for e in stats.values()), "str")
+            if kind == "num":
+                wm = _to_comparable(wm, "num") - lookback_s
+            elif kind == "ts":
+                wm = _to_comparable(wm, "ts") - dt.timedelta(seconds=lookback_s)
+        kept, total = prune_files(
+            path, pointer_col, wm,
+            ceiling=ceiling_py.isoformat(sep=" ") if ceiling_py else None,
+            stats=stats,
+        )
+        prune_info = {"files_kept": len(kept), "files_total": total}
+        if kept:
+            df = spark.read.option("basePath", path).parquet(*kept)
+        else:
+            # schema-stable empty frame: the lazy reader still provides
+            # the schema, the always-false predicate reads no data
+            df = spark.read.parquet(path).where(F.lit(False))
+        df = _apply_window(df, pointer_col, watermark, lookback_s, ceiling_py)
+        df._grove_prune = prune_info  # type: ignore[attr-defined]
+        return df
 
     df = spark.read.format(fmt).load(path)
+    return _apply_window(df, pointer_col, watermark, lookback_s, ceiling_py)
+
+
+def _apply_window(
+    df: DataFrame,
+    pointer_col: str,
+    watermark: Optional[str],
+    lookback_s: int,
+    ceiling: Optional[dt.datetime],
+) -> DataFrame:
+    """The row-level incremental predicates (always applied — file
+    pruning is coarse and must never change results)."""
+    from grove_spark.operators.dedup import watermark_literal
+
     if watermark is not None:
         # literal cast to the column's native type: pushdown survives and
         # numeric sequence pointers order numerically, not as strings
@@ -64,10 +134,10 @@ def incremental_scan(
             else:
                 lo = lo - F.expr(f"INTERVAL {lookback_s} SECONDS")
         df = df.where(F.col(pointer_col) > lo)
-    if delay_s > 0:
-        now = now or dt.datetime.now(dt.timezone.utc)
-        ceiling = (now - dt.timedelta(seconds=delay_s)).replace(tzinfo=None)
-        df = df.where(F.col(pointer_col) <= F.lit(ceiling.strftime("%Y-%m-%d %H:%M:%S.%f")))
+    if ceiling is not None:
+        df = df.where(
+            F.col(pointer_col) <= F.lit(ceiling.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        )
     return df
 
 
@@ -137,6 +207,79 @@ def orc_log_scan(
     df = spark.read.orc(path)
     if pointer_col and watermark is not None:
         df = df.where(F.col(pointer_col) > watermark_literal(df, pointer_col, watermark))
+    return df
+
+
+def manifest_scan(
+    spark: SparkSession,
+    state,
+    pointer_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+    inclusive: bool = False,
+    base_path: Optional[str] = None,
+) -> DataFrame:
+    """Read back the COMMITTED outputs of a run-state manifest with
+    manifest-resident file pruning (the snapshot-read half of the
+    Iceberg analog; the commit half is RunState.commit's ``file_stats``).
+
+    The file listing comes from the manifest (``committed_paths``) — a
+    crashed run's orphan directories are invisible, exactly like reading
+    an Iceberg snapshot. With a ``watermark``, files whose recorded
+    pointer max is behind it are dropped from the listing WITHOUT
+    opening any footer: the stats were collected by the writer at commit
+    time. Files the manifest has no stats for (older manifests) are
+    kept conservatively. The row-level predicate is applied regardless —
+    pruning changes cost, never results."""
+    from grove_spark.sources.file_stats import _list_parquet, prune_files
+
+    paths = state.committed_paths()
+    all_files = [f for p in paths for f in _list_parquet(p)]
+    if pointer_col and watermark is not None and all_files:
+        stats = state.committed_file_stats()
+        merged = {
+            f: stats.get(f, {"min": None, "max": None}) for f in all_files
+        }
+        kept, total = prune_files(
+            "", pointer_col, watermark, inclusive=inclusive, stats=merged
+        )
+    else:
+        kept, total = all_files, len(all_files)
+    if not all_files:
+        raise ValueError("manifest has no committed data paths to scan")
+    if kept:
+        # group kept files under their committed run directory so hive
+        # partition columns (descriptor/connector/date) reconstruct: each
+        # run dir is its own basePath, the per-run frames union
+        import os as _os
+        from functools import reduce
+
+        norm_paths = sorted((_os.path.normpath(p) for p in paths),
+                            key=len, reverse=True)
+        by_dir: dict = {}
+        for f in kept:
+            d = next(
+                (p for p in norm_paths
+                 if _os.path.normpath(f).startswith(p + _os.sep)),
+                base_path or _os.path.dirname(f),
+            )
+            by_dir.setdefault(d, []).append(f)
+        frames = [
+            spark.read.option("basePath", d).parquet(*fs)
+            for d, fs in sorted(by_dir.items())
+        ]
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+    else:
+        df = spark.read.parquet(*paths).where(F.lit(False))
+    if pointer_col and watermark is not None:
+        from grove_spark.operators.dedup import watermark_literal
+
+        lo = watermark_literal(df, pointer_col, watermark)
+        df = df.where(
+            F.col(pointer_col) >= lo if inclusive else F.col(pointer_col) > lo
+        )
+    df._grove_prune = {"files_kept": len(kept), "files_total": total}  # type: ignore[attr-defined]
     return df
 
 

@@ -279,6 +279,7 @@ class RunState:
         data_paths: Optional[list] = None,
         now: float | None = None,
         expected_version: Optional[int] = None,
+        file_stats: Optional[Dict[str, dict]] = None,
     ) -> None:
         """Atomically publish a run: data paths + pointer + dedup state +
         metrics in ONE root replace. The Iceberg analog is one snapshot
@@ -298,6 +299,7 @@ class RunState:
                     "seen": seen,
                     "metrics": metrics,
                     "data_paths": data_paths,
+                    "file_stats": file_stats,
                 }
             ],
             run_id,
@@ -344,15 +346,21 @@ class RunState:
                 _atomic_write(self._key_file(key, v), entry)
                 old_gens.append((key, root["entries"].get(key)))
                 root["entries"][key] = v
-                records.append(
-                    {
-                        "run_id": run_id,
-                        "key": key,
-                        "pointer": pointer,
-                        "metrics": u.get("metrics") or {},
-                        "data_paths": u.get("data_paths") or [],
-                    }
-                )
+                rec = {
+                    "run_id": run_id,
+                    "key": key,
+                    "pointer": pointer,
+                    "metrics": u.get("metrics") or {},
+                    "data_paths": u.get("data_paths") or [],
+                }
+                if u.get("file_stats"):
+                    # per-file pointer-column min/max collected by the
+                    # WRITER (one footer read per freshly-written file):
+                    # downstream consumers prune committed outputs from
+                    # the manifest alone, never re-opening footers — the
+                    # Iceberg data-file stats analog
+                    rec["file_stats"] = u["file_stats"]
+                records.append(rec)
                 committed_paths += u.get("data_paths") or []
             _atomic_write(self._run_file(v), {"records": records})
             root["version"] = v
@@ -549,6 +557,14 @@ class RunState:
             for p in h["data_paths"]:
                 if p not in out:  # fleet runs share one dir across connectors
                     out.append(p)
+        return out
+
+    def committed_file_stats(self) -> Dict[str, dict]:
+        """Writer-recorded per-file pointer stats across every
+        manifested run (later runs win on a rewritten path)."""
+        out: Dict[str, dict] = {}
+        for h in self._run_records():
+            out.update(h.get("file_stats") or {})
         return out
 
     def is_committed(self, run_id: str) -> bool:
