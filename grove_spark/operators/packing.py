@@ -208,9 +208,14 @@ def mixture_sample(
         cond = F.col(source_col) == s
         wexpr = F.when(cond, float(w)) if wexpr is None else wexpr.when(cond, float(w))
     wexpr = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
+    rate = (wexpr / F.lit(wsum)) * F.lit(float(token_budget)) / F.col("__avail")
     dim = tot.select(
         source_col,
-        ((wexpr / F.lit(wsum)) * F.lit(float(token_budget)) / F.col("__avail")).alias(
+        # zero-mass guard (ADVICE r3): a weighted source whose rows all
+        # have zero/null token counts must contribute nothing — an
+        # unguarded division yields rate=Infinity, and floor(inf) is an
+        # ANSI overflow (or an enormous epoch explode)
+        F.when(F.col("__avail") > 0, rate).otherwise(F.lit(0.0)).alias(
             "__rate"
         ),
     ).select(

@@ -743,10 +743,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, verified against exact Jaccard>=0.5.
 
     The xxhash64 signatures are engine-specific, so the DuckDB oracle is
-    the exact-Jaccard pair set: with 32 hashes / 8 bands the banding
-    curve at s>=0.5 gives P(candidate) ~ 1-(1-0.5^4)^8 ~ 0.42 per band
-    family — verification keeps only true pairs, and on the planted
-    near-dups (s ~ 0.9+) recall is ~1, making the sets equal."""
+    the exact-Jaccard pair set. Equality of the two sets is
+    PROBABILISTIC BY DESIGN and holds because of how the fixture is
+    planted: with 32 hashes / 16 bands (r = 2 rows per band) the
+    banding curve gives P(candidate) = 1-(1-s^2)^16 — ~0.99 already at
+    s = 0.5 and ~1-3e-20 at the planted near-dups' s ~ 0.9 — while the
+    exact-Jaccard verify step removes any false candidate, so both
+    sides converge on the true pair set with failure probability far
+    below the gate's lifetime."""
     from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")

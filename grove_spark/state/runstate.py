@@ -511,12 +511,41 @@ class RunState:
                     if v > root["version"]:
                         with contextlib.suppress(FileNotFoundError):
                             os.remove(p)
+                # key-generation sweep (ADVICE r3): ghosts are not only
+                # files ABOVE the root version — once later commits
+                # advance the counter past a crashed commit's generation,
+                # that file sits below the version yet referenced by
+                # nothing, and commit_many's stale pass (sg < previous
+                # gen of a TOUCHED key) never revisits rarely-touched
+                # keys. Authoritative rule: for every key hash keep the
+                # root-referenced generation plus the single
+                # immediately-previous one (reader grace across the root
+                # swap, same as commit_many); everything else — ghosts
+                # above, ghosts below, hashes the root never references
+                # (a crashed FIRST commit) — is residue. Safe under the
+                # exclusive lock: no commit can be mid-flight.
+                ref_by_hash = {
+                    hashlib.md5(k.encode()).hexdigest(): g
+                    for k, g in root["entries"].items()
+                }
+                gens_by_hash: Dict[str, list] = {}
                 for p in _glob.glob(os.path.join(self._keys_dir, "*-*.json")):
+                    name = os.path.basename(p)[:-5]
+                    h, _, gs = name.rpartition("-")
                     try:
-                        g = int(p.rsplit("-", 1)[1][:-5])
+                        g = int(gs)
                     except ValueError:  # pragma: no cover
                         continue
-                    if g > root["version"]:
+                    gens_by_hash.setdefault(h, []).append((g, p))
+                for h, lst in gens_by_hash.items():
+                    r = ref_by_hash.get(h)
+                    prev = (
+                        max((g for g, _ in lst if g < r), default=None)
+                        if r is not None else None
+                    )
+                    for g, p in lst:
+                        if r is not None and (g == r or g == prev):
+                            continue
                         with contextlib.suppress(FileNotFoundError):
                             os.remove(p)
                 for p in sorted(dead_norm | orphans):

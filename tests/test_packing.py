@@ -111,3 +111,22 @@ def test_mixture_sample_up_down_and_absent(spark):
         mixture_sample(docs, {"a": 1.0}, 0)
     with pytest.raises(ValueError):
         mixture_sample(docs, {}, 100)
+
+
+def test_mixture_sample_zero_mass_source_contributes_nothing(spark):
+    """ADVICE r3: a weighted source whose rows all have zero/null token
+    counts must yield zero rows (not an Infinity rate -> ANSI overflow
+    in floor(), or an enormous epoch explode)."""
+    from grove_spark.operators.packing import mixture_sample
+
+    rows = [(i, "a", 10) for i in range(100)] + [
+        (100 + i, "z", 0) for i in range(50)
+    ] + [(200 + i, "n", None) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int"
+    )
+    out = mixture_sample(docs, {"a": 1.0, "z": 1.0, "n": 1.0}, 1000)
+    per = {r["source"]: r["n"] for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "z" not in per and "n" not in per
+    assert per["a"] > 0

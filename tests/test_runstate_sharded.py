@@ -187,6 +187,56 @@ def test_expire_runs_does_not_resurrect_ghost_commits(tmp_path):
     assert state.is_committed("r1") and state.pointer("k") == "1"
 
 
+def test_expire_runs_reclaims_sub_version_ghost_generations(tmp_path):
+    """ADVICE r3: once later commits advance the version counter PAST a
+    crashed commit's generation file, it sits below the root version,
+    referenced by nothing — and commit_many's stale pass (which only
+    touches keys in the commit) never revisits a rarely-touched key.
+    expire_runs must sweep by REFERENCE (keep the root generation plus
+    the one-previous reader grace), not by version arithmetic."""
+    import hashlib
+
+    state = RunState(str(tmp_path / "state"))
+    state.commit("cold", "r1", pointer="1")   # v1 — rarely-touched key
+    # crashed commit for "cold" at v2: key gen file, no root publish
+    ghost = os.path.join(
+        state.root, "keys", hashlib.md5(b"cold").hexdigest() + "-2.json"
+    )
+    with open(ghost, "w") as f:
+        json.dump({"pointer": "GHOST", "seen": {}, "last_run": 0,
+                   "previous_pointer": None, "run_id": "ghost"}, f)
+    # other keys advance the version PAST the ghost
+    state.commit("hot", "r2", pointer="a")    # v2? no — v2 is taken ...
+    state.commit("hot", "r3", pointer="b")
+    assert state.version() > 2
+    # a crashed FIRST commit for a key the root never references
+    orphan_key = os.path.join(
+        state.root, "keys", hashlib.md5(b"never").hexdigest() + "-1.json"
+    )
+    with open(orphan_key, "w") as f:
+        json.dump({"pointer": "X", "seen": {}, "last_run": 0,
+                   "previous_pointer": None, "run_id": "ghost2"}, f)
+
+    state.expire_runs(keep_last=10)
+    assert not os.path.exists(ghost), "sub-version ghost not reclaimed"
+    assert not os.path.exists(orphan_key), "unreferenced key hash kept"
+    # referenced generations survive and state is intact
+    assert state.pointer("cold") == "1" and state.pointer("hot") == "b"
+    # reader grace: "hot"'s immediately-previous generation file remains
+    hot_gens = sorted(_glob(state, "hot"))
+    assert len(hot_gens) == 2
+
+
+def _glob(state, key):
+    import glob
+    import hashlib
+
+    pat = os.path.join(
+        state.root, "keys", hashlib.md5(key.encode()).hexdigest() + "-*.json"
+    )
+    return glob.glob(pat)
+
+
 def test_pending_marker_lifecycle(tmp_path):
     """A marker registered BEFORE the data dir exists must protect the
     about-to-be-written path (not be GC'd as dead weight); a crashed
