@@ -59,6 +59,11 @@ class ConcurrentCommitError(RuntimeError):
     conflict — the analog of the reference's ConcurrencyException)."""
 
 
+class _ClaimConflict(Exception):
+    """Internal: another driver holds the O_EXCL claim on the target
+    version (retryable for unconditional commits)."""
+
+
 def reference(connector: str, identity: str, operation: str = "all") -> str:
     """State key — parity with ConnectorConfig.reference()
     (grove/models.py:126-150): connector '.' md5(identity) ['.' operation]."""
@@ -88,6 +93,12 @@ class RunState:
     ``runs/``; ``pending/`` holds markers for data directories written
     ahead of their commit.
     """
+
+    #: how long an unpublished version claim may sit before another
+    #: driver treats its owner as crashed and reclaims it (the DynamoDB
+    #: lease-recovery analog). A live writer publishes its root within
+    #: milliseconds of claiming, so 300 s is generous.
+    stale_claim_ttl_s: float = 300.0
 
     def __init__(self, root: str):
         self.root = root
@@ -269,6 +280,44 @@ class RunState:
     def new_run_id(self) -> str:
         return uuid.uuid4().hex[:16]
 
+    def _claim_version(self, v: int, payload: dict) -> None:
+        """Conditionally create the run record for version ``v`` —
+        O_CREAT|O_EXCL is the filesystem's native compare-and-set, so
+        exactly one driver (across hosts sharing the state dir) wins.
+        The record is fully written + fsync'd before the claim counts:
+        readers only open run files at or below the published root
+        version, so a partial write is never visible.
+
+        Lease recovery: a claim older than ``stale_claim_ttl_s`` whose
+        version was never published (root still below it) belongs to a
+        crashed driver and is reclaimed. A writer that stalls PAST the
+        TTL between claim and publish could in principle race its
+        reclaimer — the same caveat every TTL-lease store (including
+        the reference's DynamoDB lock TTL) carries; the TTL is 4-5
+        orders of magnitude above the claim->publish path."""
+        path = self._run_file(v)
+        flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        try:
+            fd = os.open(path, flags, 0o644)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:  # claim vanished between open and stat
+                raise _ClaimConflict from None
+            if age > self.stale_claim_ttl_s and self._load_root()["version"] < v:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
+                try:
+                    fd = os.open(path, flags, 0o644)
+                except FileExistsError:
+                    raise _ClaimConflict from None
+            else:
+                raise _ClaimConflict from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+
     def commit(
         self,
         key: str,
@@ -320,7 +369,44 @@ class RunState:
         snapshot commit carrying the whole batch. Writes touch ONLY the
         updated keys' generation files + one run record + the root; cost
         is O(keys touched), independent of history length and of other
-        keys' state size."""
+        keys' state size.
+
+        Cross-DRIVER safety (the DynamoDB conditional-write analog,
+        grove/caches/aws_dynamodb.py:24-57): the flock serializes
+        committers on ONE host, but two drivers sharing a state dir over
+        NFS/S3-fuse never see each other's advisory locks. The run
+        record at the target version is therefore CLAIMED with
+        O_CREAT|O_EXCL — a true conditional write on any POSIX
+        filesystem — before any key generation is written; exactly one
+        driver can own a version. A loser retries at the next version
+        (unconditional commit) or raises ConcurrentCommitError
+        (``expected_version`` set). A claim whose owner crashed before
+        publishing its root is reclaimed after ``stale_claim_ttl_s``."""
+        attempt = 0
+        while True:
+            try:
+                self._commit_once(updates, run_id, now, expected_version)
+                return
+            except _ClaimConflict:
+                if expected_version is not None:
+                    raise ConcurrentCommitError(
+                        "another driver claimed this version "
+                        "(conditional-write conflict)"
+                    ) from None
+                attempt += 1
+                if attempt >= 20:
+                    raise ConcurrentCommitError(
+                        "could not claim a version after 20 attempts"
+                    ) from None
+                time.sleep(0.005 * attempt)
+
+    def _commit_once(
+        self,
+        updates: List[dict],
+        run_id: str,
+        now: float | None,
+        expected_version: Optional[int],
+    ) -> None:
         with self._exclusive():
             root = self._load_root()
             if expected_version is not None and root["version"] != expected_version:
@@ -329,6 +415,7 @@ class RunState:
                 )
             v = root["version"] + 1
             records = []
+            entries = []
             old_gens = []
             committed_paths = []
             for u in updates:
@@ -336,16 +423,13 @@ class RunState:
                 prev = self._read_entry(key, root) or {}
                 pointer = u.get("pointer")
                 seen = u.get("seen")
-                entry = {
+                entries.append((key, {
                     "pointer": pointer if pointer is not None else prev.get("pointer"),
                     "previous_pointer": prev.get("pointer"),
                     "last_run": time.time() if now is None else now,
                     "seen": seen if seen is not None else prev.get("seen", {}),
                     "run_id": run_id,
-                }
-                _atomic_write(self._key_file(key, v), entry)
-                old_gens.append((key, root["entries"].get(key)))
-                root["entries"][key] = v
+                }))
                 rec = {
                     "run_id": run_id,
                     "key": key,
@@ -362,7 +446,14 @@ class RunState:
                     rec["file_stats"] = u["file_stats"]
                 records.append(rec)
                 committed_paths += u.get("data_paths") or []
-            _atomic_write(self._run_file(v), {"records": records})
+            # conditional write FIRST: only the claim winner may touch
+            # key generations at this version (otherwise two cross-host
+            # drivers interleave generation overwrites)
+            self._claim_version(v, {"records": records})
+            for key, entry in entries:
+                _atomic_write(self._key_file(key, v), entry)
+                old_gens.append((key, root["entries"].get(key)))
+                root["entries"][key] = v
             root["version"] = v
             _atomic_write(self._path, root)  # the atomic "snapshot commit"
             # post-publish housekeeping: superseded generations (keep the

@@ -162,7 +162,12 @@ def test_crashed_commit_generation_is_invisible(tmp_path):
                                 "metrics": {}, "data_paths": []}]}, f)
     assert state.pointer("k") == "1", "uncommitted generation leaked"
     assert not state.is_committed("ghost")
-    # next commit takes version 2 cleanly, overwriting the ghost files
+    # conditional-write semantics: the crashed claim BLOCKS version 2
+    # until the lease TTL passes (back-date it), then the next commit
+    # reclaims it and takes version 2 cleanly
+    t = os.path.getmtime(kf) - 400
+    run2 = os.path.join(state.root, "runs", f"{2:012d}.json")
+    os.utime(run2, (t, t))
     state.commit("k", "r2", pointer="2")
     assert state.pointer("k") == "2" and not state.is_committed("ghost")
     assert [h["run_id"] for h in state._load()["history"]] == ["r1", "r2"]
