@@ -166,6 +166,77 @@ def file_secrets_provider(store_path: str) -> Callable[[str], str]:
     return provider
 
 
+def vault_secrets_provider(
+    addr: str,
+    token: Optional[str] = None,
+    token_file: Optional[str] = None,
+    namespace: Optional[str] = None,
+    api_version: str = "v1",
+    transport: Optional[Callable[[str, Dict[str, str]], dict]] = None,
+) -> Callable[[str], str]:
+    """Vault-shaped network secrets backend — reference parity with
+    grove/secrets/hashicorp_vault.py:
+
+    * secret paths use the CLI ``-field`` convention:
+      ``secret/data/example/demo?field=password`` selects one key of the
+      stored credential (get_field_and_path, :116-140); a path without a
+      ``field`` parameter is a loud ValueError;
+    * KVv2 responses nest the payload under ``data.data`` (a KVv1 engine
+      returns it under ``data``) — both unwrap transparently;
+    * auth rides the ``X-Vault-Token`` header (token_file, when set,
+      overrides token — :77-81), plus ``X-Vault-Namespace`` when given;
+    * requests go to ``{addr}/{api_version}/{path}``.
+
+    ``transport(url, headers) -> parsed JSON`` is injected: there is no
+    egress in this sandbox, and in production it decouples the path/
+    unwrap semantics from the HTTP client exactly like the HTTP sink's
+    injected poster (operators/sinks.py). Register the result under a
+    scheme: ``scheme_secrets_provider(extra={"vault": provider})``."""
+    import urllib.parse
+
+    if transport is None:
+        raise ValueError(
+            "vault_secrets_provider needs an injected transport "
+            "(callable(url, headers) -> dict)"
+        )
+    if token_file:
+        with open(token_file) as f:
+            token = f.readline().strip()
+    headers = {
+        k: v
+        for k, v in {
+            "X-Vault-Token": token,
+            "X-Vault-Request": "true",
+            "X-Vault-Namespace": namespace,
+        }.items()
+        if v is not None
+    }
+    base = addr.rstrip("/") + "/" + api_version
+
+    def provider(path: str) -> str:
+        url = urllib.parse.urlparse(path)
+        qs = urllib.parse.parse_qs(url.query)
+        try:
+            field = qs.pop("field", [])[0]
+        except IndexError:
+            raise ValueError(
+                "No 'field' parameter was found in the secret path."
+            ) from None
+        clean = url._replace(
+            netloc="", scheme="", params="",
+            query=urllib.parse.urlencode(qs, doseq=True),
+        )
+        ref = urllib.parse.urlunparse(clean).lstrip("/")
+        doc = transport(f"{base}/{ref}", headers) or {}
+        data = doc.get("data") or {}
+        if isinstance(data.get("data"), dict):  # KVv2 nests under data.data
+            data = data["data"]
+        value = data.get(field, "")
+        return value if isinstance(value, str) else json.dumps(value)
+
+    return provider
+
+
 def scheme_secrets_provider(
     extra: Optional[Dict[str, Callable[[str], str]]] = None,
 ) -> Callable[[str], str]:

@@ -223,6 +223,75 @@ def test_scheme_secrets_provider(tmp_path):
     assert p("file:/nonexistent") == "" and p("nope:x") == ""
 
 
+def test_vault_backend_hydrates_reference_parity_config(tmp_path):
+    """VERDICT r3 #8: a Vault-shaped NETWORK backend registered through
+    scheme_secrets_provider's registry carries a reference-parity config
+    end-to-end — the CLI ``?field=`` path convention, KVv2 data.data
+    unwrap, X-Vault-Token header from a token FILE, and hydration (with
+    base64 decode ordering) before the fleet would tick
+    (grove/secrets/hashicorp_vault.py, grove/secrets/__init__.py:28-85)."""
+    import base64
+
+    from grove_spark.config import (
+        ConnectorConfig,
+        hydrate_secrets,
+        scheme_secrets_provider,
+        vault_secrets_provider,
+    )
+
+    tf = tmp_path / "vault-token"
+    tf.write_text("s.root-token\nnever-read-line-2\n")
+    calls = []
+    vault_data = {
+        # KVv2 engine: payload nests under data.data
+        "v1/secret/data/example/demo": {
+            "data": {"data": {"password": "hunter2",
+                              "token": base64.b64encode(b"tok-77").decode()}}
+        },
+        # KVv1 engine: payload directly under data
+        "v1/kv/legacy/demo": {"data": {"password": "legacy-pw"}},
+    }
+
+    def transport(url, headers):
+        calls.append((url, dict(headers)))
+        assert headers["X-Vault-Token"] == "s.root-token"
+        assert headers["X-Vault-Request"] == "true"
+        assert headers["X-Vault-Namespace"] == "corp"
+        ref = url.removeprefix("https://vault.local/")
+        return vault_data.get(ref, {})
+
+    vault = vault_secrets_provider(
+        "https://vault.local/", token_file=str(tf), namespace="corp",
+        transport=transport,
+    )
+    provider = scheme_secrets_provider(extra={"vault": vault})
+
+    cfg = ConnectorConfig.from_dict({
+        "connector": "okta_system_log", "identity": "corp",
+        "secrets": {
+            "key": "vault:secret/data/example/demo?field=password",
+            "api_token": "vault:secret/data/example/demo?field=token",
+            "legacy": "vault:kv/legacy/demo?field=password",
+        },
+        "encoding": {"api_token": "base64"},
+    })
+    hydrate_secrets([cfg], provider)
+    assert cfg.key == "hunter2"                 # KVv2 unwrap + field pick
+    assert cfg.extras["api_token"] == "tok-77"  # hydrate THEN b64 decode
+    assert cfg.extras["legacy"] == "legacy-pw"  # KVv1 unwrap
+    # the ?field= parameter is stripped from the request URL
+    assert all("field=" not in u for u, _ in calls)
+    assert {u for u, _ in calls} == {
+        "https://vault.local/v1/secret/data/example/demo",
+        "https://vault.local/v1/kv/legacy/demo",
+    }
+
+    with pytest.raises(ValueError, match="field"):
+        vault("secret/data/example/demo")  # no ?field= -> loud
+    with pytest.raises(ValueError, match="transport"):
+        vault_secrets_provider("https://vault.local")
+
+
 def test_unknown_state_keys_fail_loudly(spark):
     """A watermark/seen-state key matching no member used to be silently
     ignored — i.e. a misspelled reference caused a full re-ingest. Now a
