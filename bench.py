@@ -145,11 +145,21 @@ def host_calibration() -> float:
     return round((thr(32) / thr(8)) / 4.0, 3)
 
 
-def docs_fixture(tag: str, n_docs: int) -> str:
+BOILER_TEXT = " ".join(f"tos{i % 25:02d}" for i in range(50))
+
+
+def docs_fixture(tag: str, n_docs: int, boiler_every: int | None = None) -> str:
     """Synthetic documents corpus for the dedup legs: 50-word docs over a
     2k vocab, every 20th doc a near-copy of its predecessor (one word
     mutated -> exact-Jaccard ~0.88 over 3-shingles, well above the 0.7
-    threshold and squarely inside the 16x4 LSH banding curve)."""
+    threshold and squarely inside the 16x4 LSH banding curve).
+
+    ``boiler_every`` additionally plants an IDENTICAL boilerplate doc at
+    every such index (a degenerate terms-of-service cluster): at 1M docs
+    and boiler_every=500 that is a 2000-doc cluster, deliberately past
+    the default max_bucket_size=1000 so the scale leg PROVES the cap
+    engages and planted-pair recall survives it. (%500 and %20==19 never
+    coincide, so no planted pair touches the boilerplate cluster.)"""
     import numpy as np
     import pandas as pd
 
@@ -170,6 +180,8 @@ def docs_fixture(tag: str, n_docs: int) -> str:
                 w = texts[i - 1].split()
                 w[3] = "mutated"
                 texts[i] = " ".join(w)
+            if boiler_every and (start + i) % boiler_every == 0:
+                texts[i] = BOILER_TEXT
         pd.DataFrame(
             {"doc_id": np.arange(start, start + n, dtype=np.int64), "text": texts}
         ).to_parquet(os.path.join(path, f"part-{start:08d}.parquet"), index=False)
@@ -218,6 +230,54 @@ def dedup_run(spark, docs_path: str) -> dict:
     }
 
 
+def dedup_scale_run(spark, docs_path: str, boiler_every: int = 500) -> dict:
+    """The 1M-doc scale leg (VERDICT r3 #4): docs/s at 10x the standard
+    dedup leg, planted-pair RECALL measured against the ground truth,
+    and the bucket cap's dropped-bucket telemetry — proof the cap
+    actually engages on the planted degenerate cluster and recall on
+    the real near-dups survives it."""
+    from pyspark.sql import functions as F
+
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    docs = (
+        spark.read.parquet(docs_path)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    n_docs = docs.count()
+    minhash_dedup_pairs(docs.limit(20_000), threshold=0.7).count()  # warm
+    tele: dict = {}
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(docs, threshold=0.7, telemetry=tele).persist()
+    n_pairs = pairs.count()
+    wall = time.perf_counter() - t0
+    # ground truth: every doc_id % 20 == 19 is a planted near-copy of
+    # its predecessor (none touches the boilerplate cluster)
+    planted = docs.where(F.col("doc_id") % 20 == 19).select(
+        (F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")
+    )
+    n_planted = planted.count()
+    n_recalled = pairs.join(planted, ["a", "b"], "left_semi").count()
+    # the capped boilerplate cluster must contribute NO pairs
+    n_boiler_pairs = pairs.where(
+        (F.col("a") % boiler_every == 0) & (F.col("b") % boiler_every == 0)
+    ).count()
+    pairs.unpersist()
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "pairs_found": n_pairs,
+        "planted_pairs": n_planted,
+        "planted_recalled": n_recalled,
+        "recall": round(n_recalled / max(n_planted, 1), 5),
+        "minhash_pairs_wall_s": round(wall, 3),
+        "minhash_docs_per_sec": round(n_docs / wall, 1),
+        "bucket_cap": tele,
+        "boilerplate_cluster_pairs": n_boiler_pairs,
+    }
+
+
 def e2e_run(spark, paths, n_partitions: int) -> tuple[float, int]:
     """Pipeline incl. salted repartition + partitioned per-sink parquet
     write (dictionary encoding off: token values are near-uniform ints,
@@ -251,6 +311,16 @@ def main() -> None:
     scaling_paths = fixture(f"scaling-sf{sf}", int(SCALING_ROWS_PER_SF * sf))
     e2e_paths = fixture(f"e2e-sf{sf}", int(E2E_ROWS_PER_SF * sf))
     dedup_docs = docs_fixture(f"dedupdocs-sf{sf}", max(int(1_500_000 * sf), 10_000))
+    # boilerplate interval sized so the degenerate cluster is ~2000 docs
+    # (2x the default bucket cap -> the cap provably engages) at any SF;
+    # kept a multiple of 20 so boiler ids are == 0 (mod 20) while planted
+    # docs are == 19 and their sources == 18: no planted pair can ever
+    # touch the boilerplate cluster
+    n_scale = max(int(10_000_000 * sf), 20_000)
+    boiler_every = max(20, n_scale // 2000 // 20 * 20)
+    dedup_scale_docs = docs_fixture(
+        f"dedupscale-sf{sf}-be{boiler_every}", n_scale, boiler_every=boiler_every
+    )
 
     levels = sorted({2, 8, CPUS})
     results = {}
@@ -298,6 +368,9 @@ def main() -> None:
     e2e_wall = min(e2e_wall, w2)
 
     dedup_stats = dedup_run(spark, dedup_docs)
+    dedup_scale_stats = dedup_scale_run(
+        spark, dedup_scale_docs, boiler_every=boiler_every
+    )
 
     import __spark_entry__ as entrymod
 
@@ -334,6 +407,7 @@ def main() -> None:
                     "seqs_per_sec": round(e2e_rows / e2e_wall, 1),
                 },
                 "dedup": dedup_stats,
+                "dedup_scale": dedup_scale_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
                     f"efficiency_8_to_{CPUS}": eff_8_c,

@@ -191,6 +191,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any bucket.
 
@@ -198,7 +199,13 @@ def lsh_candidate_pairs(
     bucket in ANY band become one candidate pair (distinct). Buckets
     larger than ``max_bucket_size`` are dropped (degenerate boilerplate
     clusters would otherwise explode quadratically).
-    """
+
+    Pass ``telemetry={}`` to SURFACE the cap's effect (VERDICT r3 #4 —
+    a silent drop reads as "covered everything" when it didn't): the
+    dict is filled with {buckets_total, buckets_dropped,
+    entries_dropped} from one small eager aggregate over the band
+    stream, and a dropped cap logs a warning. Default None adds zero
+    overhead/jobs."""
     bands_df = signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -222,6 +229,34 @@ def lsh_candidate_pairs(
 
     if max_bucket_size:
         sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        if telemetry is not None:
+            row = sizes.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(
+                    F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0)
+                ).alias("dropped"),
+                F.sum(
+                    F.when(F.col("bsz") > max_bucket_size, F.col("bsz"))
+                    .otherwise(0)
+                ).alias("entries"),
+            ).first()
+            telemetry.update(
+                buckets_total=int(row["total"] or 0),
+                buckets_dropped=int(row["dropped"] or 0),
+                entries_dropped=int(row["entries"] or 0),
+                max_bucket_size=max_bucket_size,
+            )
+            if telemetry["buckets_dropped"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "LSH bucket cap engaged: %d/%d band-buckets over "
+                    "max_bucket_size=%d dropped (%d doc-band entries) — "
+                    "pairs inside those degenerate clusters are NOT "
+                    "emitted; route them through exact dedup instead",
+                    telemetry["buckets_dropped"], telemetry["buckets_total"],
+                    max_bucket_size, telemetry["entries_dropped"],
+                )
         bands_df = bands_df.join(
             sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
         ).drop("bsz")
@@ -249,6 +284,8 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
+    telemetry: dict | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
     candidate pairs -> (optional) exact-Jaccard verification.
@@ -274,9 +311,10 @@ def minhash_dedup_pairs(
     # checkpoint's blocks are released by the ContextCleaner as soon as
     # the returned DataFrame is garbage-collected.
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col).localCheckpoint(
-        eager=True
-    )
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, id_col,
+        max_bucket_size=max_bucket_size, telemetry=telemetry,
+    ).localCheckpoint(eager=True)
     sigs.unpersist()
     if not verify:
         return cands
@@ -390,6 +428,7 @@ def embedding_near_pairs(
     n_planes: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = 100_000,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: random-hyperplane LSH buckets then exact
     cosine verification within buckets (see similarity.py for the
@@ -406,6 +445,32 @@ def embedding_near_pairs(
     b = add_lsh_bucket(emb.select(id_col, vec_col), vec_col, n_planes, seed)
     if max_bucket_size:
         bsz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        if telemetry is not None:
+            row = bsz.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(
+                    F.when(F.col("__bsz") > max_bucket_size, 1).otherwise(0)
+                ).alias("dropped"),
+                F.sum(
+                    F.when(F.col("__bsz") > max_bucket_size, F.col("__bsz"))
+                    .otherwise(0)
+                ).alias("entries"),
+            ).first()
+            telemetry.update(
+                buckets_total=int(row["total"] or 0),
+                buckets_dropped=int(row["dropped"] or 0),
+                entries_dropped=int(row["entries"] or 0),
+                max_bucket_size=max_bucket_size,
+            )
+            if telemetry["buckets_dropped"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "hyperplane-LSH bucket cap engaged: %d/%d buckets over "
+                    "max_bucket_size=%d dropped (%d vectors)",
+                    telemetry["buckets_dropped"], telemetry["buckets_total"],
+                    max_bucket_size, telemetry["entries_dropped"],
+                )
         b = b.join(
             F.broadcast(bsz.where(F.col("__bsz") <= max_bucket_size)), "bucket"
         ).drop("__bsz")

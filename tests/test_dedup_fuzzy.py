@@ -112,6 +112,56 @@ def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
     assert lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=0).count() == 190
 
 
+def test_bucket_cap_drop_is_surfaced_not_silent(spark, docs):
+    """VERDICT r3 #4: the cap's effect must be observable — telemetry
+    reports how many band-buckets (and doc entries) were dropped, while
+    pairs OUTSIDE the degenerate cluster still come through."""
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    # the planted near-dup corpus plus a 12-doc identical boilerplate
+    # cluster (a DIFFERENT text, so only its own buckets blow the cap)
+    boiler = [(100 + i, FAR) for i in range(12)]
+    df = docs.unionByName(spark.createDataFrame(boiler, schema=SCHEMA))
+    tele = {}
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.7, num_hashes=32, bands=8,
+        max_bucket_size=10, telemetry=tele,
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert tele["buckets_dropped"] > 0, "cap engaged but not surfaced"
+    assert tele["entries_dropped"] >= 12
+    assert tele["buckets_total"] > tele["buckets_dropped"]
+    assert tele["max_bucket_size"] == 10
+    # degenerate-cluster pairs are gone; the planted near-dup survives
+    assert all(a < 100 for a, _ in got)
+    assert (1, 4) in got
+    # telemetry with NO drop: zeros, not missing keys
+    tele2 = {}
+    minhash_dedup_pairs(
+        docs, threshold=0.7, num_hashes=32, bands=8,
+        max_bucket_size=1000, telemetry=tele2,
+    ).collect()
+    assert tele2["buckets_dropped"] == 0 and tele2["buckets_total"] > 0
+
+
+def test_embedding_bucket_cap_telemetry(spark):
+    """Same surfacing contract for the hyperplane-LSH backstop."""
+    from grove_spark.operators.dedup_fuzzy import embedding_near_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(9)] + [
+        (100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.001, 0.0])
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tele = {}
+    pairs = embedding_near_pairs(
+        emb, threshold=0.9, n_planes=4, max_bucket_size=5, telemetry=tele
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert tele["buckets_dropped"] >= 1 and tele["entries_dropped"] >= 9
+    assert (100, 101) in got, "pair outside the dropped bucket lost"
+    assert all(a >= 100 for a, _ in got)
+
+
 def test_simhash_near_pairs(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[1] == sigs[4]
