@@ -987,6 +987,47 @@ SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS INT) AS recall_floor_ok
 """
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the INGEST-TIME index (operators/ann_index.py):
+    write the table hive-partitioned by cell with the quantizer in
+    ``_ann_meta.json``, then run the indexed query path — probe set
+    derived from the STORED centroids, partition-pruned scan of the 8
+    probed cells (PartitionFilters in the plan; non-probed cells' files
+    never read), exact cosine re-rank inside. Same deterministic
+    contract as ann_ivf, which this must reproduce exactly: the index
+    is a layout, not an approximation on top of IVF."""
+    import hashlib
+    import os
+    import tempfile
+
+    from grove_spark.operators.ann_index import ann_query, write_ann_index
+    from grove_spark.operators.similarity import ivf_train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_train_centroids(emb, n_centroids=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"grove_ann_idx_{tag}")
+    write_ann_index(
+        emb.where(F.col("vec_id") != 0), path,
+        kind="ivf", centroids=cents, layout="partitioned",
+    )
+    idx_ids = ann_query(spark, path, qvec, k=10, n_probe=8).select("vec_id")
+    brute_ids = q_ann_bruteforce(spark, sf_dir)
+    recall = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    joined = idx_ids.join(
+        brute_ids.withColumn("hit", F.lit(1)), "vec_id", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        (recall >= 8).cast("int").alias("recall_floor_ok"),
+    )
+
+
+SQL_ANN_IVF_INDEXED = SQL_ANN_IVF
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (priority, status) — all four grouping-set combinations
     with grouping flags (completes the rollup/cube/pivot family)."""
@@ -1013,6 +1054,7 @@ QUERIES.update({
     "sketch_quantiles": q_sketch_quantiles,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "cube": q_cube,
     "dedup_pointer_seq": q_dedup_pointer_seq,
 })
@@ -1022,6 +1064,7 @@ ORACLE.update({
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_ivf_indexed": SQL_ANN_IVF_INDEXED,
     "cube": SQL_CUBE,
     "dedup_pointer_seq": SQL_DEDUP_POINTER_SEQ,
 })
