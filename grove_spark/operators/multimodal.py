@@ -348,6 +348,294 @@ def encode_png(img: np.ndarray, filter_mode: str = "mixed") -> bytes:
     )
 
 
+_ZIGZAG = []
+for _s in range(15):
+    _d = [(u, _s - u) for u in range(min(_s, 7), max(_s - 7, 0) - 1, -1)]
+    _ZIGZAG += _d if _s % 2 == 0 else _d[::-1]
+_ZIGZAG = [r * 8 + c for r, c in _ZIGZAG]  # spec zigzag as flat indices
+
+_DCT_M = np.array([
+    [0.5 * (1 / np.sqrt(2) if u == 0 else 1.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _jpeg_huff_tables():
+    """Canonical Huffman tables for the DHT segment. JPEG lets the
+    stream carry ANY valid tables, so these are deliberately simple:
+    every DC category (0..11) at 4 bits, every AC (run, size) symbol at
+    8 bits — 12 of 16 and 162 of 256 slots used, the reserved all-ones
+    code never assigned. The decoder builds codes canonically from the
+    DHT it reads, so it also decodes streams using the Annex K tables."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # all codes length 4
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # all codes length 8
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) from a DHT (bits, values) spec."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
+    """Encode a (h, w) uint8 array as a real BASELINE JPEG (SOI/APP0/
+    DQT/SOF0/DHT/SOS/EOI, single grayscale component, no subsampling).
+    ``q`` is the flat quantization value for all 64 coefficients; q=8
+    makes CONSTANT 8x8 tiles round-trip EXACTLY (DC = 8*(v-128) divides
+    by 8 without loss, all AC are zero), which is what gives a lossy
+    codec an arithmetic oracle."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    qt = np.full(64, q, dtype=np.int32)
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coef = _DCT_M @ block @ _DCT_M.T
+            zz = np.round(coef.reshape(64)[_ZIGZAG] / qt).astype(np.int64)
+
+            def put(v: int, codes, run: int = 0):
+                size = int(abs(v)).bit_length()
+                sym = (run << 4) | size if codes is ac_codes else size
+                c, ln = codes[sym]
+                bw.write(c, ln)
+                if size:
+                    bits = v if v >= 0 else v + (1 << size) - 1
+                    bw.write(bits, size)
+
+            put(int(zz[0] - prev_dc), dc_codes)
+            prev_dc = int(zz[0])
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for i in range(1, last + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                put(v, ac_codes, run)
+                run = 0
+            if last < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.write(c, ln)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
+                   + bytes(v & 0xFF for v in vals))
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += bw.done()
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (single grayscale component,
+    8-bit, no subsampling, no restart markers) with pure numpy: marker
+    walk, DQT/DHT/SOF0/SOS parse, canonical Huffman entropy decode with
+    byte-unstuffing, dequantize via the stream's own tables, float IDCT,
+    level shift, clamp, crop. Progressive / multi-component / DRI
+    streams raise loudly (documented scope: the training-pipeline gate
+    path; production swaps in libjpeg via the same kernel signature)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict = {}
+    huff: dict = {}
+    h = w = None
+    qsel = 0
+    scan_start = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                qtables[tq] = np.frombuffer(
+                    body, np.uint8, 64, off + 1).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17:off + 17 + n])
+                huff[(cls, tid)] = _canonical_codes(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported SOF0 precision={prec} components={ncomp} "
+                    "(8-bit single-component baseline only)"
+                )
+            # per-component spec: [id, HV, Tq] at body[6..8]
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or h is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    dc_map = {(c, l): s for s, (c, l) in huff[(0, dc_sel)].items()}
+    ac_map = {(c, l): s for s, (c, l) in huff[(1, ac_sel)].items()}
+    qt = qtables[qsel]
+
+    # unstuff the entropy stream up to the next marker
+    data = bytearray()
+    i = scan_start
+    while i < len(blob):
+        b = blob[i]
+        if b == 0xFF:
+            nxt = blob[i + 1] if i + 1 < len(blob) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            break  # a real marker ends the scan
+        data.append(b)
+        i += 1
+
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= nbits:
+            raise ValueError("entropy stream truncated")
+        byte = data[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_sym(table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            s = table.get((code, ln))
+            if s is not None:
+                return s
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def receive(size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    out = np.empty((ph, pw), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            size = read_sym(dc_map)
+            prev_dc += receive(size)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_sym(ac_map)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, sz = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = receive(sz)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * qt
+            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+            out[by:by + 8, bx:bx + 8] = np.clip(
+                np.round(block) + 128, 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Decode a real (non-interlaced, 8-bit gray or RGB) PNG with pure
     numpy + stdlib zlib: walk the chunk stream (CRC-checked), inflate the

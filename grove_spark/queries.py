@@ -2553,6 +2553,74 @@ FROM px GROUP BY doc_id, w, h
 QUERIES.update({"png_decode": q_png_decode})
 ORACLE.update({"png_decode": SQL_PNG_DECODE})
 
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, no stub (pure numpy DCT + canonical
+    Huffman): per doc a gray8 JPEG of varying non-multiple-of-8 size
+    whose pixels are CONSTANT per 8x8 tile — tile (bx, by) of doc d has
+    value (d*31 + bx*17 + by*7) % 256. With a flat quantizer of 8 a
+    constant tile's DC (8*(v-128)) quantizes losslessly and all AC are
+    zero, so the LOSSY codec becomes arithmetically exact on this family
+    and the oracle can recompute the pixel stats directly — while the
+    decoder still runs the full general path (marker walk, stream-
+    carried DHT/DQT, DC diff coding, EOB, byte unstuffing, IDCT, edge
+    crop)."""
+    import numpy as np
+    import pandas as pd
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 11 + did % 13, 9 + did % 11
+                bx, by = np.mgrid[0:w, 0:h]
+                img = ((did * 31 + (bx // 8) * 17 + (by // 8) * 7) % 256)
+                blobs.append(encode_jpeg_gray(img.T.astype(np.uint8), q=8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "w": [], "h": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for blob in pdf["blob"]:
+                img = decode_jpeg(bytes(blob)).astype(np.int64)
+                out["h"].append(img.shape[0]); out["w"].append(img.shape[1])
+                out["px_sum"].append(int(img.sum()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(enc, "doc_id long, blob binary")
+    return blobs.mapInPandas(
+        dec, "doc_id long, w int, h int, px_sum long, px_min int, px_max int"
+    )
+
+
+SQL_JPEG_DECODE = """
+WITH dim AS (
+  SELECT doc_id,
+         11 + doc_id % 13 AS w,
+         9 + doc_id % 11 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31 + ((i % d.w) // 8) * 17 + ((i // d.w) // 8) * 7) % 256 AS v
+  FROM dim d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS i) t)
+SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min,
+       CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h
+"""
+
+QUERIES.update({"jpeg_decode": q_jpeg_decode})
+ORACLE.update({"jpeg_decode": SQL_JPEG_DECODE})
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) codes for the file-layout operator: interleave
     the low 10 bits of (user_id % 1024, event_id % 1024) in codegen.

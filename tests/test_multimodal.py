@@ -252,3 +252,108 @@ def test_png_rejects_unsupported_layouts():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported PNG layout"):
         decode_png(png)
+
+
+# ---------------------------------------------------------------------------
+# round 4: baseline JPEG (VERDICT r3 #9) — pure-numpy DCT codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_tiles_roundtrip_exactly():
+    """Constant 8x8 tiles with a flat quantizer of 8 make the lossy
+    codec arithmetically exact (DC = 8*(v-128) divides losslessly, all
+    AC are zero) — including non-multiple-of-8 dims via edge-replicate
+    padding + crop."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(9)
+    for (h, w) in [(16, 16), (13, 11), (8, 8), (24, 17), (5, 30), (1, 1)]:
+        th, tw = (h + 7) // 8, (w + 7) // 8
+        tiles = rng.integers(0, 256, (th, tw))
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))[:h, :w].astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg_gray(img, q=8))
+        assert out.shape == (h, w)
+        assert np.array_equal(out, img), (h, w)
+
+
+def test_jpeg_general_images_near_exact_at_unit_quant():
+    """q=1 keeps every rounded DCT coefficient: decoded pixels match the
+    original within 1 LSB across random images (this seeded sweep also
+    exercises byte stuffing, ZRL runs, DC diff signs and every AC size
+    category)."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(42)
+    for _ in range(60):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(img, q=1))
+        assert out.shape == (h, w)
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 1, (h, w, err)
+    # smooth gradient is exact
+    y, x = np.mgrid[0:32, 0:24]
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_gray(img, q=1)), img)
+
+
+def test_jpeg_rejects_unsupported_streams_loudly():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_gray
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"GIF89a")
+    blob = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 -> SOF2 (progressive): loud, not garbage output
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    # 3-component SOF0 rejected
+    blob2 = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    j = blob2.find(b"\xff\xc0")
+    blob2[j + 9] = 3  # component count byte in SOF0 payload
+    with _pytest.raises(ValueError, match="components=3"):
+        decode_jpeg(bytes(blob2))
+    # DRI with a nonzero interval rejected
+    dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 8)
+    blob3 = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    k = blob3.find(b"\xff\xda")
+    blob3 = blob3[:k] + dri + blob3[k:]
+    with _pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(bytes(blob3))
+
+
+def test_jpeg_decoder_plugs_into_featurize_kernel(spark):
+    """The real JPEG decoder drives the same Arrow kernel the stub
+    documents (decode_and_featurize's decoder= injection point)."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(8):
+        tiles = rng.integers(0, 256, (2, 2))
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        rows.append((i, bytearray(encode_jpeg_gray(img, q=8))))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = decode_and_featurize(df, decoder=decode_jpeg, target=(2, 2)).collect()
+    assert len(out) == 8
+    for r in out:
+        assert len(r["features"]) == 4
+        assert all(0.0 <= f <= 1.0 for f in r["features"])

@@ -167,7 +167,8 @@ def test_every_gate_query_is_python_free(spark):
     # batched numpy kernels, by design: ann_ivf's matmul and the real
     # media codecs (encode/decode is inherently per-blob Python — Arrow
     # batched, never row-at-a-time)
-    allowed_arrow = {"ann_ivf", "bmp_decode", "wav_decode", "png_decode"}
+    allowed_arrow = {"ann_ivf", "ann_ivf_indexed", "bmp_decode",
+                     "wav_decode", "png_decode", "jpeg_decode"}
     for name, fn in QUERIES.items():
         if name == "stream_tumbling":
             continue  # executes a streaming query; covered by its own test
