@@ -899,6 +899,43 @@ def compile_expr(
             return None
         lit = F.lit(v)
         return lit, _literal_type(v)
+    mpre = re.match(r"^(?P<fn>[a-z_]+)\(", expr)
+    if mpre and not _FUNC_RE.match(expr):
+        # function call with a TRAILING PATH (sort_by(...)[*].name,
+        # merge(a, b).key): compile the call, then walk the remainder
+        # tokens over its typed result
+        depth, quote, close = 0, None, -1
+        for i in range(mpre.end() - 1, len(expr)):
+            ch = expr[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"`":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close > 0 and close < len(expr) - 1 and expr[close + 1] in ".[":
+            head, rest = expr[:close + 1], expr[close + 1:]
+            sub = compile_expr(schema, head, quoted_is_field=False, base=base)
+            if sub is None:
+                return None
+            col, t = sub
+            # rest starts with '.' (field) or '[' (bracket op); tokenize
+            # against a dummy "__r" base token, then drop it
+            toks = _tokens("__r" + rest)
+            if toks and toks[0] == ("field", "__r"):
+                toks = toks[1:]
+            else:  # pragma: no cover - tokenizer contract
+                raise ValueError(f"unparseable function remainder {rest!r}")
+            rt = _walk_type(t, toks)
+            if rt is None:
+                return None  # jmespath: null remainder over the result
+            return _compile_tokens(toks, col, t), rt
     m = _FUNC_RE.match(expr)
     if m and "." not in m.group("fn"):
         fn, args = m.group("fn"), _split_top(m.group("args"))
@@ -945,6 +982,8 @@ def compile_expr(
             raise ValueError(f"{fn}() over {t1} (invalid-type in jmespath)")
         if fn in ("length", "contains", "starts_with", "ends_with"):
             raise ValueError(f"{fn}() arity mismatch: {expr!r}")
+        if fn in _FUNCTIONS:
+            return _compile_function(schema, fn, args, base, expr)
         # unknown function names fall through to path parsing (a field
         # could legitimately be named e.g. "max(x)" only when quoted, so
         # an unquoted unknown call is a config error)
@@ -953,6 +992,299 @@ def compile_expr(
     if rt is None:
         return None
     return _expr_col(expr, schema, base), rt
+
+
+_FUNCTIONS = {
+    "abs", "avg", "ceil", "floor", "sum", "min", "max", "reverse", "join",
+    "keys", "values", "sort", "not_null", "to_number", "to_string", "type",
+    "merge", "map", "sort_by", "min_by", "max_by",
+}
+
+_STRING_LIT_RE = re.compile(r"""^(?:'(?P<sq>[^']*)'|"(?P<dq>[^"]*)")$""")
+
+
+def _common_type(types: List[T.DataType]) -> T.DataType | None:
+    """Shared element type across ``types``: identical passes through,
+    mixed numerics promote — the same rule as the object wildcard."""
+    if not types:
+        return None
+    if all(t == types[0] for t in types):
+        return types[0]
+    if all(isinstance(t, _NUMERIC) for t in types):
+        if any(isinstance(t, (T.FloatType, T.DoubleType)) for t in types):
+            return T.DoubleType()
+        return T.LongType()
+    return None
+
+
+def _expr_ref(arg: str, elem_t: T.DataType, fn: str):
+    """Compile a jmespath expression-ref argument (``&expr``) relative
+    to an array's element: returns (key(lambda_var) -> Column, key
+    type). ``&@`` is the identity ref; anything deeper needs a struct
+    element to resolve against."""
+    if not arg.startswith("&"):
+        raise ValueError(f"{fn}() expects an expression-ref (&expr): {arg!r}")
+    body = arg[1:].strip()
+    if body == "@":
+        return (lambda x: x), elem_t
+    if not isinstance(elem_t, T.StructType):
+        raise ValueError(
+            f"{fn}(&{body}) needs struct array elements to resolve against "
+            f"(got {elem_t.simpleString()})"
+        )
+    probe = compile_expr(elem_t, body, quoted_is_field=False,
+                         base=F.lit(None))
+    if probe is None:
+        raise ValueError(f"{fn}() expression-ref does not resolve: &{body}")
+    _, kt = probe
+
+    def key(x):
+        return compile_expr(elem_t, body, quoted_is_field=False, base=x)[0]
+
+    return key, kt
+
+
+def _compile_function(schema, fn: str, args: List[str], base, expr: str):
+    """The jmespath built-in function library over TYPED columns (the
+    public library evaluates these per row over dicts —
+    grove/processors/extract_paths.py:86 route; here each compiles once
+    into Catalyst). Invalid operand TYPES raise at compile time (the
+    library's invalid-type error, surfaced earlier); null operands
+    follow the documented lenient null-in/null-out family. Functions
+    whose jmespath semantics cannot be reproduced exactly in a typed
+    engine (to_string of composites — JSON formatting differs) raise
+    loudly rather than deviate silently."""
+
+    def sub(i):
+        return compile_expr(schema, args[i], quoted_is_field=False, base=base)
+
+    def arity(n):
+        if len(args) != n:
+            raise ValueError(f"{fn}() arity mismatch: {expr!r}")
+
+    if fn == "type":
+        arity(1)
+        s = sub(0)
+        if s is None:
+            # jmespath: type(<unresolvable>) is the STRING "null"
+            return F.lit("null"), T.StringType()
+        col, t = s
+        if isinstance(t, _NUMERIC):
+            name = "number"
+        elif isinstance(t, T.StringType):
+            name = "string"
+        elif isinstance(t, T.BooleanType):
+            name = "boolean"
+        elif isinstance(t, T.ArrayType):
+            name = "array"
+        elif isinstance(t, (T.StructType, T.MapType)):
+            name = "object"
+        else:
+            raise ValueError(f"type() over {t} unsupported")
+        return (
+            F.when(col.isNull(), F.lit("null")).otherwise(F.lit(name)),
+            T.StringType(),
+        )
+
+    if fn == "not_null":
+        if not args or args == [""]:
+            raise ValueError(f"not_null() needs arguments: {expr!r}")
+        subs = [sub(i) for i in range(len(args))]
+        live = [s for s in subs if s is not None]
+        if not live:
+            return None
+        ct = _common_type([t for _, t in live])
+        if ct is None:
+            raise ValueError(
+                "not_null() arguments have no common Spark type "
+                f"({[t.simpleString() for _, t in live]})"
+            )
+        cols = [c.cast(ct) if t != ct else c for c, t in live]
+        return F.coalesce(*cols), ct
+
+    # --- single-operand families ------------------------------------------
+    if fn in ("abs", "ceil", "floor", "to_number", "to_string", "reverse",
+              "sum", "avg", "min", "max", "sort", "keys", "values"):
+        arity(1)
+        s = sub(0)
+        if s is None:
+            if fn == "to_string":
+                # jmespath JSON-encodes a null operand: the STRING "null"
+                return F.lit("null"), T.StringType()
+            return None
+        col, t = s
+        if fn == "abs":
+            if not isinstance(t, _NUMERIC):
+                raise ValueError(f"abs() over {t} (invalid-type)")
+            return F.abs(col), t
+        if fn in ("ceil", "floor"):
+            if not isinstance(t, _NUMERIC):
+                raise ValueError(f"{fn}() over {t} (invalid-type)")
+            f = F.ceil if fn == "ceil" else F.floor
+            return f(col.cast("double")).cast("long"), T.LongType()
+        if fn == "to_number":
+            if isinstance(t, _NUMERIC):
+                return col, t
+            if isinstance(t, T.StringType):
+                return col.try_cast("double"), T.DoubleType()
+            # jmespath: to_number of bool/array/object is null
+            return F.lit(None).cast("double"), T.DoubleType()
+        if fn == "to_string":
+            if isinstance(t, (_NUMERIC + (T.BooleanType, T.StringType))):
+                # jmespath JSON-encodes: a null VALUE becomes "null"
+                return (
+                    F.coalesce(col.cast("string"), F.lit("null")),
+                    T.StringType(),
+                )
+            raise ValueError(
+                "to_string() over composites deviates (JSON formatting "
+                "differs between engines) — documented loud error"
+            )
+        if fn == "reverse":
+            if isinstance(t, (T.ArrayType, T.StringType)):
+                return F.reverse(col), t
+            raise ValueError(f"reverse() over {t} (invalid-type)")
+        if fn in ("sum", "avg"):
+            if not (isinstance(t, T.ArrayType)
+                    and isinstance(t.elementType, _NUMERIC)):
+                raise ValueError(f"{fn}() over {t} (needs array<number>)")
+            total = F.aggregate(
+                col, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            if fn == "sum":
+                # jmespath: sum([]) == 0; sum(null) -> lenient null
+                return (
+                    F.when(col.isNull(), F.lit(None)).otherwise(total),
+                    T.DoubleType(),
+                )
+            return (
+                F.when(F.size(col) > 0, total / F.size(col)),
+                T.DoubleType(),
+            )
+        if fn in ("min", "max"):
+            if not (isinstance(t, T.ArrayType) and isinstance(
+                    t.elementType, _NUMERIC + (T.StringType,))):
+                raise ValueError(f"{fn}() over {t} (needs array<number|string>)")
+            f = F.array_min if fn == "min" else F.array_max
+            return f(col), t.elementType
+        if fn == "sort":
+            if not (isinstance(t, T.ArrayType) and isinstance(
+                    t.elementType, _NUMERIC + (T.StringType,))):
+                raise ValueError(f"sort() over {t} (needs array<number|string>)")
+            return F.array_sort(col), t
+        if fn == "keys":
+            if isinstance(t, T.StructType):
+                return (
+                    F.when(col.isNull(), F.lit(None)).otherwise(
+                        F.array(*[F.lit(f.name) for f in t.fields])
+                    ),
+                    T.ArrayType(T.StringType()),
+                )
+            if isinstance(t, T.MapType):
+                return F.map_keys(col), T.ArrayType(t.keyType)
+            raise ValueError(f"keys() over {t} (invalid-type)")
+        if fn == "values":
+            ow = _owild_values(col, t)
+            if ow is None:
+                raise ValueError(f"values() over {t} (invalid-type)")
+            vals, elem = ow
+            return vals, T.ArrayType(elem)
+
+    if fn == "join":
+        arity(2)
+        m = _STRING_LIT_RE.match(args[0].strip())
+        if m is None:
+            raise ValueError(
+                f"join() glue must be a string literal: {args[0]!r}"
+            )
+        glue = m.group("sq") if m.group("sq") is not None else m.group("dq")
+        s = sub(1)
+        if s is None:
+            return None
+        col, t = s
+        if not (isinstance(t, T.ArrayType)
+                and isinstance(t.elementType, T.StringType)):
+            raise ValueError(f"join() over {t} (needs array<string>)")
+        return (
+            F.when(col.isNull(), F.lit(None)).otherwise(
+                F.array_join(col, glue)
+            ),
+            T.StringType(),
+        )
+
+    if fn == "merge":
+        if not args or args == [""]:
+            raise ValueError(f"merge() needs arguments: {expr!r}")
+        subs = [sub(i) for i in range(len(args))]
+        if any(s is None for s in subs):
+            return None
+        types = [t for _, t in subs]
+        if all(isinstance(t, T.MapType) for t in types):
+            # session mapKeyDedupPolicy=LAST_WIN matches dict update order
+            col = F.map_concat(*[c for c, _ in subs])
+            return col, types[0]
+        if all(isinstance(t, T.StructType) for t in types):
+            # later arguments win per key, like dict.update
+            fields: dict = {}
+            for (c, t) in subs:
+                for f in t.fields:
+                    fields[f.name] = (c.getField(f.name), f.dataType)
+            merged = F.struct(
+                *[v[0].alias(k) for k, v in fields.items()]
+            )
+            null_any = subs[0][0].isNull()
+            for c, _ in subs[1:]:
+                null_any = null_any | c.isNull()
+            return (
+                F.when(null_any, F.lit(None)).otherwise(merged),
+                T.StructType([
+                    T.StructField(k, v[1]) for k, v in fields.items()
+                ]),
+            )
+        raise ValueError(
+            f"merge() needs all-object arguments of one kind, got "
+            f"{[t.simpleString() for t in types]}"
+        )
+
+    # --- expression-ref families ------------------------------------------
+    if fn == "map":
+        arity(2)
+        s = sub(1)
+        if s is None:
+            return None
+        col, t = s
+        if not isinstance(t, T.ArrayType):
+            raise ValueError(f"map() over {t} (needs array)")
+        key, kt = _expr_ref(args[0], t.elementType, fn)
+        # unlike projections, map() KEEPS per-element nulls — exact parity
+        return F.transform(col, key), T.ArrayType(kt)
+
+    if fn in ("sort_by", "min_by", "max_by"):
+        arity(2)
+        s = sub(0)
+        if s is None:
+            return None
+        col, t = s
+        if not isinstance(t, T.ArrayType):
+            raise ValueError(f"{fn}() over {t} (needs array)")
+        key, kt = _expr_ref(args[1], t.elementType, fn)
+        if not isinstance(kt, _NUMERIC + (T.StringType,)):
+            raise ValueError(
+                f"{fn}() key must be number|string, got {kt.simpleString()}"
+            )
+        srt = F.array_sort(
+            col,
+            lambda l, r: F.when(key(l) < key(r), -1)
+            .when(key(l) > key(r), 1)
+            .otherwise(0),
+        )
+        if fn == "sort_by":
+            return srt, t
+        if fn == "min_by":
+            return F.get(srt, 0), t.elementType
+        return F.try_element_at(srt, F.lit(-1)), t.elementType
+
+    raise ValueError(f"unknown jmespath function {fn!r} in {expr!r}")  # pragma: no cover
 
 
 def _literal_type(v) -> T.DataType | None:

@@ -218,6 +218,48 @@ EXPRS = [
     "metrics.* | [0]",
     "length(metrics.*)",
     "metrics.* | [::-1]",
+    # round 4: the function library (each vs the public implementation)
+    "sum(metrics.*)",
+    "avg(metrics.*)",
+    "min(metrics.*)",
+    "max(metrics.*)",
+    "min(events[*].name)",
+    "max(events[*].name)",
+    "abs(outcome.score)",
+    "ceil(outcome.score)",
+    "floor(outcome.score)",
+    "reverse(events[*].name)",
+    "reverse(outcome.result)",
+    "sort(events[*].name)",
+    "sort(events[].tags[])",
+    "join('-', events[*].name)",
+    "join('', events[0].tags)",
+    "keys(outcome)",
+    "keys(metrics)",
+    "values(metrics)",
+    "not_null(outcome.result, 'fallback')",
+    "not_null(missing, outcome.result)",
+    "to_number(outcome.result)",
+    "to_number(to_string(metrics.cnt))",
+    "to_string(outcome.score)",
+    "to_string(metrics.cnt)",
+    "to_string(outcome.result)",
+    "to_string(missing)",
+    "type(outcome.score)",
+    "type(outcome.result)",
+    "type(events)",
+    "type(outcome)",
+    "type(missing)",
+    "type(events[0].tags)",
+    "merge(outcome, metrics)",
+    "map(&name, events)",
+    "map(&tags[0], events)",
+    "map(&length(tags), events)",
+    "sort_by(events, &name)[*].name",
+    "sort_by(events, &name) | [0].name",
+    "min_by(events, &name).name",
+    "max_by(events, &name).name",
+    "sort_by(metrics.*, &@)",
 ]
 
 
@@ -316,6 +358,37 @@ def test_unknown_function_is_loud():
         compile_expr(SCHEMA, "bogus(events)")
     with pytest.raises(ValueError, match="arity"):
         compile_expr(SCHEMA, "length(events, id)")
+
+
+def test_function_library_invalid_types_are_loud():
+    """Type errors surface at COMPILE time (the library raises them per
+    row at runtime); deviations that cannot be typed are documented
+    loud errors, never silent wrong answers."""
+    from grove_spark.functions.paths import compile_expr
+
+    for bad in [
+        "abs(outcome.result)",         # abs over string
+        "sum(events)",                 # sum over array<struct>
+        "sort(events)",                # sort needs atomic elements
+        "join('-', metrics.*)",        # join needs array<string>
+        "keys(id)",                    # keys over number
+        "reverse(metrics)",            # reverse over object
+        "merge(outcome, events)",      # merge of object + array
+        "sort_by(events, &tags)",      # key must be number|string
+        "map(&name, outcome)",         # map needs an array
+    ]:
+        with pytest.raises(ValueError):
+            compile_expr(SCHEMA, bad)
+    with pytest.raises(ValueError, match="literal"):
+        compile_expr(SCHEMA, "join(outcome.result, events[*].name)")
+    with pytest.raises(ValueError, match="expression-ref"):
+        compile_expr(SCHEMA, "sort_by(events, name)")
+    with pytest.raises(ValueError, match="arity"):
+        compile_expr(SCHEMA, "sort_by(events)")
+    # to_string over composites: documented loud deviation (JSON
+    # formatting differs between engines)
+    with pytest.raises(ValueError, match="to_string"):
+        compile_expr(SCHEMA, "to_string(events)")
 
 
 def test_filter_projections_match_jmespath(df):
@@ -572,7 +645,21 @@ _EXPR = st.one_of(
     st.sampled_from(["outcome.result", "outcome.score", "id",
                      "length(events)", "{r: outcome.result, n: id}",
                      "metrics.*", "metrics.* | [0]", "length(metrics.*)",
-                     "metrics.* | [::-1]", "metrics.lat", "metrics.cnt"]),
+                     "metrics.* | [::-1]", "metrics.lat", "metrics.cnt",
+                     # function library (well-typed forms; type errors are
+                     # compile-time-loud by design, so the grammar sticks
+                     # to operands the library also accepts)
+                     "sum(metrics.*)", "avg(metrics.*)", "min(metrics.*)",
+                     "sort(events[*].name)", "reverse(events[*].name)",
+                     "join('-', events[*].name)", "keys(metrics)",
+                     "values(metrics)", "to_string(metrics.cnt)",
+                     "type(events)", "type(outcome)", "type(missing)",
+                     "not_null(missing, outcome.result)",
+                     "map(&name, events)", "map(&tags[0], events)",
+                     "sort_by(events, &name)[*].name",
+                     "min_by(events, &name).name",
+                     "max_by(events, &name).name",
+                     "merge(outcome, metrics)"]),
 )
 
 
