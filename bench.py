@@ -230,7 +230,10 @@ def dedup_run(spark, docs_path: str) -> dict:
     }
 
 
-def dedup_scale_run(spark, docs_path: str, boiler_every: int = 500) -> dict:
+def dedup_scale_run(
+    spark, docs_path: str, boiler_every: int = 500,
+    max_bucket_size: int | None = None,
+) -> dict:
     """The 1M-doc scale leg (VERDICT r3 #4): docs/s at 10x the standard
     dedup leg, planted-pair RECALL measured against the ground truth,
     and the bucket cap's dropped-bucket telemetry — proof the cap
@@ -246,10 +249,17 @@ def dedup_scale_run(spark, docs_path: str, boiler_every: int = 500) -> dict:
         .persist()
     )
     n_docs = docs.count()
+    if max_bucket_size is None:
+        # the cap must sit strictly BELOW the planted boilerplate
+        # cluster at every SF (cluster size floors at == 1000 for tiny
+        # corpora, where the default cap of 1000 would not engage)
+        max_bucket_size = min(1000, max(n_docs // boiler_every // 2, 8))
     minhash_dedup_pairs(docs.limit(20_000), threshold=0.7).count()  # warm
     tele: dict = {}
     t0 = time.perf_counter()
-    pairs = minhash_dedup_pairs(docs, threshold=0.7, telemetry=tele).persist()
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.7, telemetry=tele, max_bucket_size=max_bucket_size
+    ).persist()
     n_pairs = pairs.count()
     wall = time.perf_counter() - t0
     # ground truth: every doc_id % 20 == 19 is a planted near-copy of
@@ -312,7 +322,8 @@ def main() -> None:
     e2e_paths = fixture(f"e2e-sf{sf}", int(E2E_ROWS_PER_SF * sf))
     dedup_docs = docs_fixture(f"dedupdocs-sf{sf}", max(int(1_500_000 * sf), 10_000))
     # boilerplate interval sized so the degenerate cluster is ~2000 docs
-    # (2x the default bucket cap -> the cap provably engages) at any SF;
+    # at the judged SF (dedup_scale_run lowers the cap below the cluster
+    # at tiny SFs where the cluster floors at 1000 == the default cap);
     # kept a multiple of 20 so boiler ids are == 0 (mod 20) while planted
     # docs are == 19 and their sources == 18: no planted pair can ever
     # touch the boilerplate cluster

@@ -222,8 +222,13 @@ def vault_secrets_provider(
             raise ValueError(
                 "No 'field' parameter was found in the secret path."
             ) from None
+        # keep the netloc: a scheme-registry spelling like
+        # 'vault://secret/data/x?field=y' parses its first segment as
+        # netloc, and erasing it (the reference only ever sees
+        # schemeless paths) would silently drop 'secret/' from the
+        # request and hydrate an empty value
         clean = url._replace(
-            netloc="", scheme="", params="",
+            scheme="", params="",
             query=urllib.parse.urlencode(qs, doseq=True),
         )
         ref = urllib.parse.urlunparse(clean).lstrip("/")

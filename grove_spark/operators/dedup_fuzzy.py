@@ -185,6 +185,46 @@ def minhash_signatures(
     return pre.select(id_col, F.array(*[min_hash(i) for i in range(num_hashes)]).alias("sig"))
 
 
+def _cap_telemetry(
+    sizes: DataFrame,
+    size_col: str,
+    cap: int,
+    telemetry: dict | None,
+    label: str,
+    bucket_noun: str,
+    entry_noun: str = "entries",
+) -> None:
+    """Fill ``telemetry`` with the bucket cap's effect (one small eager
+    aggregate over the bucket-size frame) and warn when it engages —
+    a silent drop reads as "covered everything" when it didn't. No-op
+    (zero extra jobs) when telemetry is None."""
+    if telemetry is None:
+        return
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col(size_col) > cap, 1).otherwise(0)
+        ).alias("dropped"),
+        F.sum(
+            F.when(F.col(size_col) > cap, F.col(size_col)).otherwise(0)
+        ).alias("entries"),
+    ).first()
+    telemetry.update(
+        buckets_total=int(row["total"] or 0),
+        buckets_dropped=int(row["dropped"] or 0),
+        entries_dropped=int(row["entries"] or 0),
+        max_bucket_size=cap,
+    )
+    if telemetry["buckets_dropped"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s engaged: %d/%d %s over max_bucket_size=%d dropped (%d %s)",
+            label, telemetry["buckets_dropped"], telemetry["buckets_total"],
+            bucket_noun, cap, telemetry["entries_dropped"], entry_noun,
+        )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -229,34 +269,11 @@ def lsh_candidate_pairs(
 
     if max_bucket_size:
         sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-        if telemetry is not None:
-            row = sizes.agg(
-                F.count(F.lit(1)).alias("total"),
-                F.sum(
-                    F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0)
-                ).alias("dropped"),
-                F.sum(
-                    F.when(F.col("bsz") > max_bucket_size, F.col("bsz"))
-                    .otherwise(0)
-                ).alias("entries"),
-            ).first()
-            telemetry.update(
-                buckets_total=int(row["total"] or 0),
-                buckets_dropped=int(row["dropped"] or 0),
-                entries_dropped=int(row["entries"] or 0),
-                max_bucket_size=max_bucket_size,
-            )
-            if telemetry["buckets_dropped"]:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "LSH bucket cap engaged: %d/%d band-buckets over "
-                    "max_bucket_size=%d dropped (%d doc-band entries) — "
-                    "pairs inside those degenerate clusters are NOT "
-                    "emitted; route them through exact dedup instead",
-                    telemetry["buckets_dropped"], telemetry["buckets_total"],
-                    max_bucket_size, telemetry["entries_dropped"],
-                )
+        _cap_telemetry(sizes, "bsz", max_bucket_size, telemetry,
+                       "LSH bucket cap", "band-buckets",
+                       "doc-band entries — pairs inside those degenerate "
+                       "clusters are NOT emitted; route them through "
+                       "exact dedup instead")
         bands_df = bands_df.join(
             sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
         ).drop("bsz")
@@ -445,32 +462,8 @@ def embedding_near_pairs(
     b = add_lsh_bucket(emb.select(id_col, vec_col), vec_col, n_planes, seed)
     if max_bucket_size:
         bsz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
-        if telemetry is not None:
-            row = bsz.agg(
-                F.count(F.lit(1)).alias("total"),
-                F.sum(
-                    F.when(F.col("__bsz") > max_bucket_size, 1).otherwise(0)
-                ).alias("dropped"),
-                F.sum(
-                    F.when(F.col("__bsz") > max_bucket_size, F.col("__bsz"))
-                    .otherwise(0)
-                ).alias("entries"),
-            ).first()
-            telemetry.update(
-                buckets_total=int(row["total"] or 0),
-                buckets_dropped=int(row["dropped"] or 0),
-                entries_dropped=int(row["entries"] or 0),
-                max_bucket_size=max_bucket_size,
-            )
-            if telemetry["buckets_dropped"]:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "hyperplane-LSH bucket cap engaged: %d/%d buckets over "
-                    "max_bucket_size=%d dropped (%d vectors)",
-                    telemetry["buckets_dropped"], telemetry["buckets_total"],
-                    max_bucket_size, telemetry["entries_dropped"],
-                )
+        _cap_telemetry(bsz, "__bsz", max_bucket_size, telemetry,
+                       "hyperplane-LSH bucket cap", "buckets", "vectors")
         b = b.join(
             F.broadcast(bsz.where(F.col("__bsz") <= max_bucket_size)), "bucket"
         ).drop("__bsz")

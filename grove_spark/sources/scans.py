@@ -83,16 +83,30 @@ def incremental_scan(
             )
 
             stats = parquet_file_stats(_list_parquet(path), pointer_col)
+        kind = next((e.get("kind") for e in stats.values()), "str")
         wm = watermark
         if wm is not None and lookback_s > 0:
-            kind = next((e.get("kind") for e in stats.values()), "str")
             if kind == "num":
                 wm = _to_comparable(wm, "num") - lookback_s
             elif kind == "ts":
                 wm = _to_comparable(wm, "ts") - dt.timedelta(seconds=lookback_s)
+            else:
+                # STRING pointer stats cannot be shifted by an interval
+                # without knowing their exact format; pruning with the
+                # unadjusted watermark would drop files the lookback
+                # re-scan must read. Conservative: no watermark pruning
+                # (the row predicate still applies — cost, not results)
+                wm = None
+        # the delay ceiling only translates to file stats for native
+        # timestamp columns; anything else skips ceiling pruning rather
+        # than comparing a datetime against numeric/lexicographic stats
+        ceiling_arg = (
+            ceiling_py.isoformat(sep=" ")
+            if (ceiling_py is not None and kind == "ts") else None
+        )
         kept, total = prune_files(
             path, pointer_col, wm,
-            ceiling=ceiling_py.isoformat(sep=" ") if ceiling_py else None,
+            ceiling=ceiling_arg,
             stats=stats,
         )
         prune_info = {"files_kept": len(kept), "files_total": total}
@@ -135,6 +149,18 @@ def _apply_window(
                 lo = lo - F.expr(f"INTERVAL {lookback_s} SECONDS")
         df = df.where(F.col(pointer_col) > lo)
     if ceiling is not None:
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[pointer_col].dataType, T.NumericType):
+            # a wall-clock consistency delay has no meaning against a
+            # sequence-kind pointer — comparing the timestamp literal
+            # would be an ANSI cast error at runtime anyway; fail at
+            # plan-build time with the actual problem
+            raise ValueError(
+                f"delay_s needs a time-typed pointer column; "
+                f"{pointer_col!r} is numeric (sequence-kind pointers "
+                "have no consistency-delay semantics)"
+            )
         df = df.where(
             F.col(pointer_col) <= F.lit(ceiling.strftime("%Y-%m-%d %H:%M:%S.%f"))
         )

@@ -280,6 +280,42 @@ class RunState:
     def new_run_id(self) -> str:
         return uuid.uuid4().hex[:16]
 
+    def _claim_is_dead(self, path: str, v: int) -> bool:
+        """True when an unpublished claim's owner is provably or
+        presumably gone. Fast path: the claim records (host, pid) — on
+        the SAME host a dead pid (or our own pid: a caught exception
+        between claim and publish, now being retried) means the owner
+        cannot publish, so reclaim is immediate; this restores prompt
+        same-host crash-resume, which the TTL alone would stall for
+        minutes. Cross-host the lease TTL is the only signal — the
+        standard caveat of every TTL-lease store, including the
+        reference's DynamoDB lock."""
+        if self._load_root()["version"] >= v:
+            return False  # published: not a claim anymore
+        try:
+            with open(path) as f:
+                owner = json.load(f).get("claim") or {}
+        except (OSError, json.JSONDecodeError):
+            owner = {}  # partial write: fall through to the TTL
+        import socket
+
+        if owner.get("host") == socket.gethostname() and owner.get("pid"):
+            pid = int(owner["pid"])
+            if pid == os.getpid():
+                return True  # our own abandoned claim
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # same host, owner process is gone
+            except PermissionError:  # pragma: no cover - pid exists
+                pass
+            return False  # same host and alive: genuinely in flight
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            return False  # vanished: someone else is handling it
+        return age > self.stale_claim_ttl_s
+
     def _claim_version(self, v: int, payload: dict) -> None:
         """Conditionally create the run record for version ``v`` —
         O_CREAT|O_EXCL is the filesystem's native compare-and-set, so
@@ -288,31 +324,37 @@ class RunState:
         readers only open run files at or below the published root
         version, so a partial write is never visible.
 
-        Lease recovery: a claim older than ``stale_claim_ttl_s`` whose
-        version was never published (root still below it) belongs to a
-        crashed driver and is reclaimed. A writer that stalls PAST the
-        TTL between claim and publish could in principle race its
-        reclaimer — the same caveat every TTL-lease store (including
-        the reference's DynamoDB lock TTL) carries; the TTL is 4-5
-        orders of magnitude above the claim->publish path."""
+        Lease recovery: a claim whose owner is dead (same-host pid
+        check) or older than ``stale_claim_ttl_s`` with its version
+        never published is reclaimed — and the reclaim itself is
+        serialized by an atomic RENAME of the stale file (exactly one
+        reclaimer wins the rename; a remove-then-create pair would let
+        a second reclaimer delete the first one's fresh claim)."""
         path = self._run_file(v)
         flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
         try:
             fd = os.open(path, flags, 0o644)
         except FileExistsError:
+            if not self._claim_is_dead(path, v):
+                raise _ClaimConflict from None
+            trash = f"{path}.stale-{uuid.uuid4().hex[:8]}"
             try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:  # claim vanished between open and stat
+                os.rename(path, trash)  # atomic: one reclaimer wins
+            except FileNotFoundError:
                 raise _ClaimConflict from None
-            if age > self.stale_claim_ttl_s and self._load_root()["version"] < v:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(path)
-                try:
-                    fd = os.open(path, flags, 0o644)
-                except FileExistsError:
-                    raise _ClaimConflict from None
-            else:
+            with contextlib.suppress(OSError):
+                os.remove(trash)
+            try:
+                fd = os.open(path, flags, 0o644)
+            except FileExistsError:  # a third driver re-claimed first
                 raise _ClaimConflict from None
+        import socket
+
+        payload = dict(payload)
+        payload["claim"] = {
+            "host": socket.gethostname(), "pid": os.getpid(),
+            "ts": time.time(),
+        }
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
             f.flush()
@@ -593,15 +635,25 @@ class RunState:
                 # are crashed commits' residue. The version bump below
                 # must not make them visible (a resurrected run record
                 # breaks is_committed idempotence and exposes
-                # never-published data paths) — delete them first.
+                # never-published data paths) — delete them first. BUT
+                # under the cross-driver claim protocol an above-root run
+                # file may be another LIVE driver's just-claimed version
+                # (the flock is invisible over NFS): only dead claims
+                # (same-host pid check / lease TTL) are swept; a live
+                # claim also blocks the version bump below from landing
+                # on it.
+                live_claims = set()
                 for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
                     try:
                         v = int(os.path.splitext(os.path.basename(p))[0])
                     except ValueError:  # pragma: no cover
                         continue
                     if v > root["version"]:
-                        with contextlib.suppress(FileNotFoundError):
-                            os.remove(p)
+                        if self._claim_is_dead(p, v):
+                            with contextlib.suppress(FileNotFoundError):
+                                os.remove(p)
+                        else:
+                            live_claims.add(v)
                 # key-generation sweep (ADVICE r3): ghosts are not only
                 # files ABOVE the root version — once later commits
                 # advance the counter past a crashed commit's generation,
@@ -637,6 +689,10 @@ class RunState:
                     for g, p in lst:
                         if r is not None and (g == r or g == prev):
                             continue
+                        if g in live_claims:
+                            # a live cross-host writer's in-flight
+                            # generation — its claim survived the sweep
+                            continue
                         with contextlib.suppress(FileNotFoundError):
                             os.remove(p)
                 for p in sorted(dead_norm | orphans):
@@ -661,8 +717,27 @@ class RunState:
                         _atomic_write(p, {"records": new_records})
                     else:
                         os.remove(p)
-                root["version"] += 1
-                _atomic_write(self._path, root)
+                # the retention pass consumes a version, CLAIMED like
+                # any commit. It must never bump PAST a live in-flight
+                # claim (publishing a root at/above that version would
+                # make the claimant's still-unpublished records visible
+                # — resurrection), so on conflict the bump is simply
+                # skipped: retention already removed the dead residue,
+                # and the fencing the bump provides is unnecessary while
+                # a live writer owns the next version. NOTE: like
+                # Iceberg's expire_snapshots on stores without a
+                # conditional catalog swap, running retention
+                # concurrently with cross-host committers can still
+                # interleave the final root replaces — schedule
+                # expire_runs from one place.
+                v = root["version"] + 1
+                try:
+                    self._claim_version(v, {"records": []})
+                except _ClaimConflict:
+                    pass
+                else:
+                    root["version"] = v
+                    _atomic_write(self._path, root)
         return {
             "expired_records": len(expired),
             "deleted_dirs": sorted(dead_norm),

@@ -291,6 +291,13 @@ def test_vault_backend_hydrates_reference_parity_config(tmp_path):
     with pytest.raises(ValueError, match="transport"):
         vault_secrets_provider("https://vault.local")
 
+    # the 'vault://...' URI spelling: scheme_secrets_provider hands the
+    # provider '//secret/...' — the leading segment (urlparse netloc)
+    # must reach the request path, not be silently dropped
+    assert provider(
+        "vault://secret/data/example/demo?field=password"
+    ) == "hunter2"
+
 
 def test_unknown_state_keys_fail_loudly(spark):
     """A watermark/seen-state key matching no member used to be silently

@@ -181,10 +181,23 @@ def test_expire_runs_does_not_resurrect_ghost_commits(tmp_path):
     paths to readers)."""
     state = RunState(str(tmp_path / "state"))
     state.commit("k", "r1", pointer="1")
-    with open(os.path.join(state.root, "runs", f"{2:012d}.json"), "w") as f:
+    ghost_path = os.path.join(state.root, "runs", f"{2:012d}.json")
+    with open(ghost_path, "w") as f:
         json.dump({"records": [{"run_id": "ghost", "key": "k", "pointer": "G",
                                 "metrics": {}, "data_paths": ["/data/ghost"]}]}, f)
     assert not state.is_committed("ghost")
+    # fresh + ownerless, the file could be a LIVE cross-host claim:
+    # retention must neither delete it nor bump the root past it (a
+    # root at/above it would resurrect its records)
+    state.expire_runs(keep_last=10)
+    assert state.version() == 1
+    assert os.path.exists(ghost_path)
+    assert not state.is_committed("ghost"), "expire_runs resurrected a ghost"
+    assert "/data/ghost" not in state.committed_paths()
+    # once provably dead (lease TTL passed), it is swept and the
+    # retention bump lands cleanly
+    t = os.path.getmtime(ghost_path) - (state.stale_claim_ttl_s + 10)
+    os.utime(ghost_path, (t, t))
     state.expire_runs(keep_last=10)
     assert state.version() == 2
     assert not state.is_committed("ghost"), "expire_runs resurrected a ghost"
