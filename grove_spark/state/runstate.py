@@ -371,6 +371,7 @@ class RunState:
         now: float | None = None,
         expected_version: Optional[int] = None,
         file_stats: Optional[Dict[str, dict]] = None,
+        replaces: Optional[list] = None,
     ) -> None:
         """Atomically publish a run: data paths + pointer + dedup state +
         metrics in ONE root replace. The Iceberg analog is one snapshot
@@ -391,6 +392,7 @@ class RunState:
                     "metrics": metrics,
                     "data_paths": data_paths,
                     "file_stats": file_stats,
+                    "replaces": replaces,
                 }
             ],
             run_id,
@@ -486,6 +488,13 @@ class RunState:
                     # the manifest alone, never re-opening footers — the
                     # Iceberg data-file stats analog
                     rec["file_stats"] = u["file_stats"]
+                if u.get("replaces"):
+                    # a REWRITE record (compaction): the listed data
+                    # dirs are superseded by this record's data_paths —
+                    # readers stop seeing them the instant this commit
+                    # publishes (snapshot semantics), retention reclaims
+                    # them later
+                    rec["replaces"] = [os.path.normpath(p) for p in u["replaces"]]
                 records.append(rec)
                 committed_paths += u.get("data_paths") or []
             # conditional write FIRST: only the claim winner may touch
@@ -576,13 +585,19 @@ class RunState:
             keep = [(v, h) for i, (v, h) in enumerate(per_file) if i in keep_idx]
             expired = [h for i, (_, h) in enumerate(per_file) if i not in keep_idx]
             norm = os.path.normpath
-            kept_paths = {norm(p) for _, h in keep for p in h["data_paths"]}
-            dead_norm = {
-                norm(p)
-                for h in expired
-                for p in h["data_paths"]
-                if norm(p) not in kept_paths
+            # dirs superseded by a rewrite record are dead for readers
+            # regardless of their original record's retention bucket —
+            # retention is the reader barrier that finally reclaims them
+            # (Iceberg: compacted files linger until expire_snapshots)
+            replaced = {
+                norm(p) for _, h in per_file for p in (h.get("replaces") or [])
             }
+            kept_paths = {
+                norm(p) for _, h in keep for p in h["data_paths"]
+            } - replaced
+            dead_norm = (
+                {norm(p) for h in expired for p in h["data_paths"]} | replaced
+            ) - kept_paths
             all_referenced = {
                 norm(p) for _, h in per_file for p in h["data_paths"]
             }
@@ -746,12 +761,30 @@ class RunState:
 
     def committed_paths(self) -> list:
         """Every data path any manifested run published — what a reader
-        may consume. Orphan part-dirs from crashed runs are invisible."""
+        may consume. Orphan part-dirs from crashed runs are invisible,
+        and dirs SUPERSEDED by a later rewrite record (compaction) drop
+        out the instant the rewrite publishes."""
         out: list = []
-        for h in self._run_records():
+        replaced = set()
+        records = self._run_records()
+        for h in records:
+            for p in h.get("replaces") or []:
+                replaced.add(os.path.normpath(p))
+        for h in records:
             for p in h["data_paths"]:
+                if os.path.normpath(p) in replaced:
+                    continue
                 if p not in out:  # fleet runs share one dir across connectors
                     out.append(p)
+        return out
+
+    def replaced_paths(self) -> set:
+        """Dirs superseded by rewrite records — readable by nobody,
+        reclaimable by retention."""
+        out = set()
+        for h in self._run_records():
+            for p in h.get("replaces") or []:
+                out.add(os.path.normpath(p))
         return out
 
     def committed_file_stats(self) -> Dict[str, dict]:
