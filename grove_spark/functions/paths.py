@@ -997,7 +997,7 @@ def compile_expr(
 _FUNCTIONS = {
     "abs", "avg", "ceil", "floor", "sum", "min", "max", "reverse", "join",
     "keys", "values", "sort", "not_null", "to_number", "to_string", "type",
-    "merge", "map", "sort_by", "min_by", "max_by",
+    "merge", "map", "sort_by", "min_by", "max_by", "to_array",
 }
 
 _STRING_LIT_RE = re.compile(r"""^(?:'(?P<sq>[^']*)'|"(?P<dq>[^"]*)")$""")
@@ -1104,15 +1104,33 @@ def _compile_function(schema, fn: str, args: List[str], base, expr: str):
 
     # --- single-operand families ------------------------------------------
     if fn in ("abs", "ceil", "floor", "to_number", "to_string", "reverse",
-              "sum", "avg", "min", "max", "sort", "keys", "values"):
+              "sum", "avg", "min", "max", "sort", "keys", "values",
+              "to_array"):
         arity(1)
         s = sub(0)
         if s is None:
             if fn == "to_string":
                 # jmespath JSON-encodes a null operand: the STRING "null"
                 return F.lit("null"), T.StringType()
+            if fn == "to_array":
+                # jmespath wraps even null: to_array(null) == [null]
+                return (F.array(F.lit(None).cast("string")),
+                        T.ArrayType(T.StringType()))
             return None
         col, t = s
+        if fn == "to_array":
+            if isinstance(t, T.ArrayType):
+                # a NULL value is not an array to jmespath: it wraps to
+                # [null] rather than passing through
+                return (
+                    F.when(col.isNotNull(), col).otherwise(
+                        F.array(F.lit(None).cast(t.elementType))
+                    ),
+                    t,
+                )
+            # jmespath wraps any non-array value — null included — in a
+            # one-element list
+            return F.array(col), T.ArrayType(t)
         if fn == "abs":
             if not isinstance(t, _NUMERIC):
                 raise ValueError(f"abs() over {t} (invalid-type)")

@@ -218,6 +218,27 @@ def test_resumed_run_reads_strict_subset_of_files(spark, tmp_path):
     assert ms_ids == ref_ids
 
 
+def test_pruned_equals_full_across_boundary_watermarks(spark, ranged_parquet):
+    """Result-equality sweep across watermarks sitting ON file
+    boundaries, just inside, just outside, below-min and above-max —
+    the invariant 'pruning changes cost, never results' at the exact
+    edges where an off-by-one would hide."""
+    stats = parquet_file_stats(_list_parquet(ranged_parquet), "seq")
+    edges = sorted({int(float(e["max"])) for e in stats.values()}
+                   | {int(float(e["min"])) for e in stats.values()})
+    wms = {-1, 0, 3999, 4000, 5000}
+    for e in edges:
+        wms.update({e - 1, e, e + 1})
+    for wm in sorted(wms):
+        pruned = incremental_scan(spark, ranged_parquet, "seq",
+                                  watermark=str(wm), prune=True)
+        full = incremental_scan(spark, ranged_parquet, "seq",
+                                watermark=str(wm))
+        a = sorted(r["seq"] for r in pruned.select("seq").collect())
+        b = sorted(r["seq"] for r in full.select("seq").collect())
+        assert a == b, f"watermark {wm}: pruned {len(a)} vs full {len(b)}"
+
+
 def test_stat_less_files_kept_conservatively(tmp_path):
     stats = {
         "/x/a.parquet": {"min": None, "max": None, "kind": "num"},

@@ -260,6 +260,11 @@ EXPRS = [
     "min_by(events, &name).name",
     "max_by(events, &name).name",
     "sort_by(metrics.*, &@)",
+    "to_array(outcome.result)",
+    "to_array(events[*].name)",
+    "to_array(events)",
+    "to_array(missing)",
+    "length(to_array(id))",
 ]
 
 
