@@ -506,6 +506,8 @@ def run_daemon(
     sleep_fn: Callable[[float], None] = time.sleep,
     pointer_cols: Optional[Dict[str, str]] = None,
     keep_reports: int = 1000,
+    compact_every_s: Optional[float] = None,
+    compact_kw: Optional[dict] = None,
 ) -> List[dict]:
     """The ``groved`` daemon loop (grove/entrypoints/local_daemon.py:49-197):
     an endless scheduler that re-reads the config tree every ``refresh_s``
@@ -524,6 +526,13 @@ def run_daemon(
     durable per-run telemetry lives in the run-state manifest, not here.
     The returned list carries the TRUE tick count as a ``ticks``
     attribute (len() only counts the retained tail).
+
+    ``compact_every_s`` adds the maintenance tick: small-file compaction
+    (operators/compaction.py) over the committed outputs on its own
+    cadence — at fleet cadence the per-run part dirs are exactly the
+    small-file pattern compaction exists for. A compaction that loses
+    its conditional commit to a racing tick simply retries on the next
+    maintenance interval.
     """
     from collections import deque
 
@@ -531,6 +540,7 @@ def run_daemon(
 
     configs = load_configs(config_path)
     last_refresh = now_fn()
+    last_compact = now_fn()
     reports: deque = deque(maxlen=keep_reports)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
@@ -545,6 +555,19 @@ def run_daemon(
             )
         except ConcurrentCommitError:
             r = {"due": 0, "skipped": "concurrent commit; retried next tick"}
+        if (
+            compact_every_s is not None
+            and out_path
+            and now - last_compact >= compact_every_s
+        ):
+            from grove_spark.operators.compaction import compact_runs
+
+            last_compact = now
+            try:
+                c = compact_runs(spark, state, out_path, **(compact_kw or {}))
+                r["compaction"] = c or "no-op"
+            except ConcurrentCommitError:
+                r["compaction"] = "lost conditional commit; retried next interval"
         reports.append(r)
         ticks += 1
         sleep_fn(tick_s)

@@ -2621,6 +2621,64 @@ FROM px GROUP BY doc_id, w, h
 QUERIES.update({"jpeg_decode": q_jpeg_decode})
 ORACLE.update({"jpeg_decode": SQL_JPEG_DECODE})
 
+
+def q_jmes_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JMESPath function library (P7 — the reference evaluates these
+    per row via jmespath.search; functions/paths.py compiles them once
+    into Catalyst) driven through extract_paths over a synthesized
+    nested column: sort_by with a trailing path, max_by, map+sum/join,
+    reverse, ceil, type, not_null. The oracle recomputes every value
+    arithmetically from the flat columns."""
+    from grove_spark.operators.processors import extract_paths
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "params",
+        F.array(
+            F.struct(
+                F.lit("a").alias("name"),
+                ((F.col("event_id") * 2) % 13).cast("double").alias("rank"),
+            ),
+            F.struct(
+                F.lit("b").alias("name"),
+                ((F.col("event_id") * 2 + 1) % 13).cast("double").alias("rank"),
+            ),
+        ),
+    )
+    out = extract_paths(ev, [
+        {"destination": "event_id", "sources": ["event_id"]},
+        {"destination": "first_sorted", "sources": ["sort_by(params, &rank)[0].name"]},
+        {"destination": "top_rank", "sources": ["max_by(params, &rank).rank"]},
+        {"destination": "rank_sum", "sources": ["sum(map(&rank, params))"]},
+        {"destination": "names", "sources": ["join('-', map(&name, params))"]},
+        {"destination": "rev_type", "sources": ["reverse(event_type)"]},
+        {"destination": "v_ceil", "sources": ["ceil(value)"]},
+        {"destination": "v_type", "sources": ["type(value)"]},
+        {"destination": "ntype", "sources": ["not_null(missing, event_type)"]},
+    ])
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "first_sorted", "top_rank", "rank_sum", "names", "rev_type",
+        F.col("v_ceil").cast("bigint").alias("v_ceil"), "v_type", "ntype",
+    )
+
+
+SQL_JMES_FUNCTIONS = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN (event_id*2)%13 < (event_id*2+1)%13 THEN 'a' ELSE 'b' END
+         AS first_sorted,
+       CAST(greatest((event_id*2)%13, (event_id*2+1)%13) AS DOUBLE) AS top_rank,
+       CAST((event_id*2)%13 + (event_id*2+1)%13 AS DOUBLE) AS rank_sum,
+       'a-b' AS names,
+       reverse(event_type) AS rev_type,
+       CAST(ceil(value) AS BIGINT) AS v_ceil,
+       CASE WHEN value IS NULL THEN 'null' ELSE 'number' END AS v_type,
+       event_type AS ntype
+FROM events
+"""
+
+QUERIES.update({"jmes_functions": q_jmes_functions})
+ORACLE.update({"jmes_functions": SQL_JMES_FUNCTIONS})
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) codes for the file-layout operator: interleave
     the low 10 bits of (user_id % 1024, event_id % 1024) in codegen.

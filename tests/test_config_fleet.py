@@ -192,6 +192,63 @@ def test_run_daemon_refresh_and_schedule(spark, tmp_path):
     assert reports[2]["due"] == 1 and "slack_audit" in reports[2]["per_connector"]
 
 
+def test_run_daemon_maintenance_compaction(spark, tmp_path):
+    """The daemon's maintenance tick: per-tick part dirs from two fleet
+    runs are compacted into one on the compaction cadence, atomically,
+    with the reader view intact."""
+    import datetime as dt
+
+    from grove_spark.config import run_daemon
+    from grove_spark.state.runstate import RunState
+
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_time timestamp")
+    seq_path = str(tmp_path / "seq")
+    spark.createDataFrame(
+        [("d1", [1], 1, "okta", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(seq_path)
+    cfg_dir = tmp_path / "cfgs"
+    cfg_dir.mkdir()
+    (cfg_dir / "okta.json").write_text(json.dumps(
+        {"connector": "okta_system_log", "identity": "a", "frequency": 100}
+    ))
+    out = str(tmp_path / "out")
+    clock = {"t": 1000.0}
+
+    def now_fn():
+        return clock["t"]
+
+    def sleep_fn(s):
+        clock["t"] += 200.0
+        if clock["t"] == 1200.0:  # new data between tick 1 and 2
+            spark.createDataFrame(
+                [("d2", [2], 1, "okta", dt.datetime(2024, 1, 1, 11))], schema
+            ).write.mode("append").parquet(seq_path)
+
+    state = RunState(str(tmp_path / "state"))
+    reports = run_daemon(
+        spark, str(cfg_dir), seq_path, state, out_path=out,
+        refresh_s=10_000.0, tick_s=0.25, max_ticks=3,
+        now_fn=now_fn, sleep_fn=sleep_fn,
+        compact_every_s=350.0,
+        compact_kw={"small_file_bytes": 64 * 1024 * 1024, "min_dirs": 2},
+    )
+    # ticks 1+2 each committed a part dir; tick 3's maintenance pass
+    # compacted them into one
+    assert isinstance(reports[2]["compaction"], dict)
+    assert reports[2]["compaction"]["files_before"] >= 2
+    paths = state.committed_paths()
+    assert len(paths) == 1 and "part-compact-" in paths[0]
+    got = sorted(
+        (r["doc_id"], r["descriptor"])
+        for r in spark.read.parquet(paths[0])
+        .select("doc_id", "descriptor").collect()
+    )
+    # no (doc, sink) duplicated through the rewrite; both docs present
+    assert got == sorted(set(got))
+    assert {d for d, _ in got} >= {"d1", "d2"}
+
+
 def test_redact_chain_processor(spark):
     """redact plugs into the Grove-style processor chain."""
     from grove_spark.operators.processors import apply_chain
