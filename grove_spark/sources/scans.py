@@ -243,10 +243,16 @@ def manifest_scan(
     watermark: Optional[str] = None,
     inclusive: bool = False,
     base_path: Optional[str] = None,
+    as_of: Optional[int] = None,
 ) -> DataFrame:
     """Read back the COMMITTED outputs of a run-state manifest with
     manifest-resident file pruning (the snapshot-read half of the
     Iceberg analog; the commit half is RunState.commit's ``file_stats``).
+
+    ``as_of`` time-travels: the listing as of an older manifest version
+    (Iceberg snapshot-id read) — a later compaction does not hide the
+    original dirs, and data expired by retention is gone (same contract
+    as expired snapshots).
 
     The file listing comes from the manifest (``committed_paths``) — a
     crashed run's orphan directories are invisible, exactly like reading
@@ -258,10 +264,10 @@ def manifest_scan(
     pruning changes cost, never results."""
     from grove_spark.sources.file_stats import _list_parquet, prune_files
 
-    paths = state.committed_paths()
+    paths = state.committed_paths(as_of=as_of)
     all_files = [f for p in paths for f in _list_parquet(p)]
     if pointer_col and watermark is not None and all_files:
-        stats = state.committed_file_stats()
+        stats = state.committed_file_stats(as_of=as_of)
         merged = {
             f: stats.get(f, {"min": None, "max": None}) for f in all_files
         }

@@ -179,18 +179,22 @@ class RunState:
         with open(self._key_file(key, gen)) as f:
             return json.load(f)
 
-    def _run_records(self, root: Optional[dict] = None) -> List[dict]:
+    def _run_records(
+        self, root: Optional[dict] = None, as_of: Optional[int] = None
+    ) -> List[dict]:
         """All committed run records in commit order. Only files whose
         version <= the root version are trusted — a crashed commit's
-        run file is invisible until that version actually publishes."""
+        run file is invisible until that version actually publishes.
+        ``as_of`` caps the view at an older version (snapshot read)."""
         root = root or self._load_root()
+        ceiling = root["version"] if as_of is None else min(as_of, root["version"])
         out: List[dict] = []
         for p in sorted(_glob.glob(os.path.join(self._runs_dir, "*.json"))):
             try:
                 v = int(os.path.splitext(os.path.basename(p))[0])
             except ValueError:  # pragma: no cover - foreign file
                 continue
-            if v > root["version"]:
+            if v > ceiling:
                 continue
             with open(p) as f:
                 out.extend((v, r) for r in json.load(f)["records"])
@@ -759,14 +763,21 @@ class RunState:
             "orphans_deleted": sorted(orphans),
         }
 
-    def committed_paths(self) -> list:
+    def committed_paths(self, as_of: Optional[int] = None) -> list:
         """Every data path any manifested run published — what a reader
         may consume. Orphan part-dirs from crashed runs are invisible,
         and dirs SUPERSEDED by a later rewrite record (compaction) drop
-        out the instant the rewrite publishes."""
+        out the instant the rewrite publishes.
+
+        ``as_of`` is the TIME-TRAVEL read (Iceberg snapshot-id scan):
+        the listing as of that root version — a rewrite committed after
+        it does not hide the original dirs, which is why retention (not
+        the rewrite) deletes them. Versions older than what
+        ``expire_runs`` has already trimmed are a best-effort view, the
+        same contract as expired Iceberg snapshots."""
         out: list = []
         replaced = set()
-        records = self._run_records()
+        records = self._run_records(as_of=as_of)
         for h in records:
             for p in h.get("replaces") or []:
                 replaced.add(os.path.normpath(p))
@@ -787,11 +798,11 @@ class RunState:
                 out.add(os.path.normpath(p))
         return out
 
-    def committed_file_stats(self) -> Dict[str, dict]:
+    def committed_file_stats(self, as_of: Optional[int] = None) -> Dict[str, dict]:
         """Writer-recorded per-file pointer stats across every
         manifested run (later runs win on a rewritten path)."""
         out: Dict[str, dict] = {}
-        for h in self._run_records():
+        for h in self._run_records(as_of=as_of):
             out.update(h.get("file_stats") or {})
         return out
 

@@ -83,6 +83,44 @@ def test_compaction_swaps_atomically_and_preserves_rows(spark, env):
     assert got == [f"doc_n{i}" for i in range(4)]
 
 
+def test_time_travel_reads_pre_compaction_snapshot(spark, env):
+    """as_of = the Iceberg snapshot-id read: the version BEFORE the
+    rewrite still lists the original dirs (which is why retention, not
+    the rewrite, deletes them); the version AFTER lists only the
+    compacted dir; rows are identical at both snapshots."""
+    paths, state, out = env
+    v_before = state.version()
+    old_dirs = state.committed_paths()
+    before_rows = _rows(spark, state)
+
+    res = compact_runs(spark, state, out, small_file_bytes=64 * 1024 * 1024)
+    assert res is not None
+    # current view: compacted only; as_of view: originals only
+    assert state.committed_paths() == [res["new_dir"]]
+    assert state.committed_paths(as_of=v_before) == old_dirs
+    # a v_before snapshot scan reads the ORIGINAL dirs and same rows
+    ms_old = manifest_scan(spark, state, as_of=v_before)
+    got_old = sorted(
+        (r["doc_id"], r["descriptor"])
+        for r in ms_old.select("doc_id", "descriptor").collect()
+    )
+    assert got_old == before_rows
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in ms_old.inputFiles()}
+    assert scanned == {f for d in old_dirs for f in _list_parquet(d)}
+    # snapshot pruning uses only stats committed at/before as_of
+    wm = "2024-05-31 23:59:59"
+    ms_oldp = manifest_scan(spark, state, pointer_col="event_time",
+                            watermark=wm, as_of=v_before)
+    got = sorted(set(r["doc_id"] for r in ms_oldp.select("doc_id").collect()))
+    assert got == [f"doc_n{i}" for i in range(4)]
+    # after retention reclaims the superseded dirs, the old snapshot is
+    # best-effort gone — exactly the expired-snapshot contract
+    state.expire_runs(keep_last=100)
+    assert state.committed_paths(as_of=v_before) == old_dirs  # listing survives
+    assert not any(os.path.isdir(d) for d in old_dirs)        # data does not
+
+
 def test_compaction_noop_cases(spark, env):
     paths, state, out = env
     # every file already "big enough" under a tiny threshold -> no-op
