@@ -38,6 +38,7 @@ def incremental_scan(
     lookback_s: int = 0,
     prune: bool = False,
     stats_cache=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Watermarked incremental scan with optional consistency delay,
     lookback re-scan and file-level pruning.
@@ -59,7 +60,15 @@ def incremental_scan(
     new/changed files are opened. The row predicate stays on the scan —
     pruning changes cost, never results. The pruning decision is
     surfaced on the returned frame as ``df._grove_prune =
-    {files_kept, files_total}``."""
+    {files_kept, files_total}``.
+
+    ``merge_schema=True`` handles SCHEMA EVOLUTION in append-only log
+    dirs (a connector that starts emitting a new field mid-stream):
+    parquet footers are unioned so every file's columns appear, older
+    files reading the new columns as null. Off by default — the merge
+    pass reads every footer, which is exactly the cost file pruning
+    exists to avoid; a pruned scan merges only the KEPT files'
+    schemas."""
     prune_info = None
     ceiling_py = None
     if delay_s > 0:
@@ -110,8 +119,11 @@ def incremental_scan(
             stats=stats,
         )
         prune_info = {"files_kept": len(kept), "files_total": total}
+        reader = spark.read.option("basePath", path)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if kept:
-            df = spark.read.option("basePath", path).parquet(*kept)
+            df = reader.parquet(*kept)
         else:
             # schema-stable empty frame: the lazy reader still provides
             # the schema, the always-false predicate reads no data
@@ -120,7 +132,10 @@ def incremental_scan(
         df._grove_prune = prune_info  # type: ignore[attr-defined]
         return df
 
-    df = spark.read.format(fmt).load(path)
+    reader = spark.read
+    if merge_schema and fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
+    df = reader.format(fmt).load(path)
     return _apply_window(df, pointer_col, watermark, lookback_s, ceiling_py)
 
 

@@ -246,3 +246,36 @@ def test_stat_less_files_kept_conservatively(tmp_path):
     }
     kept, total = prune_files("/x", "seq", 100, stats=stats)
     assert kept == ["/x/a.parquet"] and total == 2
+
+
+def test_schema_evolution_merge_on_incremental_scan(spark, tmp_path):
+    """Append-only dirs grow columns mid-stream: merge_schema unions the
+    footers (old files read the new column as null); a pruned resumed
+    scan merges only the KEPT files' schemas and still sees the new
+    column when only new files survive pruning."""
+    path = str(tmp_path / "evolving")
+    spark.range(0, 100).select(F.col("id").alias("seq"),
+                               F.lit("a").alias("v1")) \
+        .coalesce(1).write.parquet(path)
+    spark.range(100, 200).select(F.col("id").alias("seq"),
+                                 F.lit("b").alias("v1"),
+                                 (F.col("id") * 2).alias("v2")) \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    full = incremental_scan(spark, path, "seq", merge_schema=True)
+    assert set(full.columns) == {"seq", "v1", "v2"}
+    got = {r["seq"]: r["v2"] for r in full.select("seq", "v2").collect()}
+    assert got[0] is None and got[150] == 300
+
+    pruned = incremental_scan(spark, path, "seq", watermark="99",
+                              prune=True, merge_schema=True)
+    assert pruned._grove_prune["files_kept"] == 1
+    assert "v2" in pruned.columns
+    assert pruned.where(F.col("v2").isNull()).count() == 0
+    assert pruned.count() == 100
+
+    # a window spanning old+new files carries the merged schema too
+    both = incremental_scan(spark, path, "seq", watermark="50",
+                            prune=True, merge_schema=True)
+    assert set(both.columns) == {"seq", "v1", "v2"}
+    assert both.count() == 149
