@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import time
 from base64 import b64decode
@@ -568,6 +569,16 @@ def run_daemon(
                 r["compaction"] = c or "no-op"
             except ConcurrentCommitError:
                 r["compaction"] = "lost conditional commit; retried next interval"
+            except Exception as err:  # noqa: BLE001 - maintenance must
+                # never kill the ingest loop (a corrupt part file or FS
+                # hiccup in the OPTIONAL tick would otherwise take down
+                # the daemon, and a restart re-selects the same
+                # candidate and dies again)
+                logging.getLogger(__name__).error(
+                    "maintenance compaction failed; retrying next "
+                    "interval: %s", err,
+                )
+                r["compaction"] = f"failed: {err}"
         reports.append(r)
         ticks += 1
         sleep_fn(tick_s)

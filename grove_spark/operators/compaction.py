@@ -62,7 +62,13 @@ def compact_runs(
     candidates = []
     files_before = 0
     bytes_before = 0
+    root = os.path.normpath(out_path)
     for d in state.committed_paths():
+        # scope: only dirs under THIS output root — a manifest shared
+        # with other sinks must not have their (differently-shaped)
+        # outputs unioned into this root's hive layout
+        if not os.path.normpath(d).startswith(root + os.sep):
+            continue
         files = _list_parquet(d)
         if not files:
             continue

@@ -126,8 +126,10 @@ def incremental_scan(
             df = reader.parquet(*kept)
         else:
             # schema-stable empty frame: the lazy reader still provides
-            # the schema, the always-false predicate reads no data
-            df = spark.read.parquet(path).where(F.lit(False))
+            # the schema (merged, when requested — otherwise an evolved
+            # column present only in newer files would vanish from the
+            # empty batch), the always-false predicate reads no data
+            df = reader.parquet(path).where(F.lit(False))
         df = _apply_window(df, pointer_col, watermark, lookback_s, ceiling_py)
         df._grove_prune = prune_info  # type: ignore[attr-defined]
         return df

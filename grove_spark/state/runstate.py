@@ -586,6 +586,33 @@ class RunState:
             keep_idx = set()
             for idxs in per_key.values():
                 keep_idx.update(idxs[-keep_last:])
+            # retention coupling for REWRITE records: a compaction
+            # record's bucket (__compaction__.*) expires on its own
+            # cadence, but the snapshot invariant ("old dirs XOR the
+            # compacted dir") only holds while the rewrite survives —
+            # expiring it while any record it REPLACES is still kept
+            # would resurrect long-deleted original dirs AND delete the
+            # only surviving copy of the data. Force-keep every rewrite
+            # whose replaced paths are still referenced by a kept
+            # record, to a fixpoint (rewrites chain when compacted dirs
+            # are re-compacted).
+            norm = os.path.normpath
+            while True:
+                kept_data = {
+                    norm(p)
+                    for i, (_, h) in enumerate(per_file)
+                    if i in keep_idx
+                    for p in h["data_paths"]
+                }
+                grew = False
+                for i, (_, h) in enumerate(per_file):
+                    if i in keep_idx or not h.get("replaces"):
+                        continue
+                    if any(norm(p) in kept_data for p in h["replaces"]):
+                        keep_idx.add(i)
+                        grew = True
+                if not grew:
+                    break
             keep = [(v, h) for i, (v, h) in enumerate(per_file) if i in keep_idx]
             expired = [h for i, (_, h) in enumerate(per_file) if i not in keep_idx]
             norm = os.path.normpath
@@ -789,14 +816,6 @@ class RunState:
                     out.append(p)
         return out
 
-    def replaced_paths(self) -> set:
-        """Dirs superseded by rewrite records — readable by nobody,
-        reclaimable by retention."""
-        out = set()
-        for h in self._run_records():
-            for p in h.get("replaces") or []:
-                out.add(os.path.normpath(p))
-        return out
 
     def committed_file_stats(self, as_of: Optional[int] = None) -> Dict[str, dict]:
         """Writer-recorded per-file pointer stats across every

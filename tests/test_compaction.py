@@ -131,6 +131,55 @@ def test_compaction_noop_cases(spark, env):
     assert len(state.committed_paths()) == 2
 
 
+def test_rewrite_record_outlives_replaced_records(tmp_path):
+    """Review finding: a rewrite record's retention bucket
+    (__compaction__.*) churns on its own cadence; expiring the rewrite
+    while a record it REPLACES is still kept would resurrect the
+    deleted original dirs and delete the only copy of the data. The
+    force-keep coupling must pin the rewrite for as long as any
+    replaced path is still referenced by kept history."""
+    state = RunState(str(tmp_path / "state"))
+    a = tmp_path / "data" / "part-orig"
+    c = tmp_path / "data" / "part-compact-x"
+    for d in (a, c):
+        d.mkdir(parents=True)
+        (d / "f.parquet").write_bytes(b"x")
+
+    state.commit("slow", "r-slow", pointer="1", data_paths=[str(a)])
+    state.commit("__compaction__.fleet", "r-rewrite",
+                 data_paths=[str(c)], replaces=[str(a)])
+    # churn the compaction bucket far past keep_last
+    for i in range(6):
+        state.commit("__compaction__.fleet", f"r-noise-{i}")
+
+    state.expire_runs(keep_last=2)
+    # the rewrite survived its bucket's window because 'slow' still
+    # references the replaced dir; readers see the compacted dir only
+    assert state.is_committed("r-rewrite")
+    paths = state.committed_paths()
+    assert str(c) in [os.path.normpath(p) for p in paths]
+    assert str(a) not in [os.path.normpath(p) for p in paths]
+    assert c.is_dir(), "compacted dir (only copy of the data) deleted"
+    # the replaced dir is reclaimed by retention as usual
+    assert not a.is_dir()
+
+
+def test_compaction_scoped_to_out_path(spark, env, tmp_path):
+    """A manifest shared with another sink must not have that sink's
+    dirs unioned into this root's layout."""
+    paths, state, out = env
+    foreign = tmp_path / "elsewhere" / "part-foreign"
+    foreign.mkdir(parents=True)
+    (foreign / "x.parquet").write_bytes(b"tiny")
+    state.commit("other_sink", "r-foreign", data_paths=[str(foreign)])
+
+    res = compact_runs(spark, state, out, small_file_bytes=64 * 1024 * 1024)
+    assert res is not None
+    assert str(foreign) not in res["replaced"]
+    assert str(foreign) in [os.path.normpath(p)
+                            for p in state.committed_paths()]
+
+
 def test_compaction_loses_conditional_race(spark, env, monkeypatch):
     """A fleet commit landing during the rewrite makes the compaction
     commit LOSE (conditional claim) — the manifest is untouched and the

@@ -249,6 +249,48 @@ def test_run_daemon_maintenance_compaction(spark, tmp_path):
     assert {d for d, _ in got} >= {"d1", "d2"}
 
 
+def test_run_daemon_survives_maintenance_failure(spark, tmp_path, monkeypatch):
+    """The optional maintenance tick must never kill the ingest loop: a
+    failing compaction (corrupt part file, FS hiccup) is reported and
+    retried next interval while fleet ticks keep running."""
+    import datetime as dt
+
+    import grove_spark.operators.compaction as comp
+    from grove_spark.config import run_daemon
+    from grove_spark.state.runstate import RunState
+
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_time timestamp")
+    seq_path = str(tmp_path / "seq")
+    spark.createDataFrame(
+        [("d1", [1], 1, "okta", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(seq_path)
+    cfg_dir = tmp_path / "cfgs"
+    cfg_dir.mkdir()
+    (cfg_dir / "okta.json").write_text(json.dumps(
+        {"connector": "okta_system_log", "identity": "a", "frequency": 100}
+    ))
+
+    def boom(*a, **k):
+        raise OSError("truncated part file")
+
+    monkeypatch.setattr(comp, "compact_runs", boom)
+    clock = {"t": 1000.0}
+
+    def sleep_fn(s):
+        clock["t"] += 200.0
+
+    state = RunState(str(tmp_path / "state"))
+    reports = run_daemon(
+        spark, str(cfg_dir), seq_path, state, out_path=str(tmp_path / "out"),
+        refresh_s=1e5, max_ticks=3, now_fn=lambda: clock["t"],
+        sleep_fn=sleep_fn, compact_every_s=150.0,
+    )
+    assert reports.ticks == 3
+    assert any(str(r.get("compaction", "")).startswith("failed:")
+               for r in reports)
+
+
 def test_redact_chain_processor(spark):
     """redact plugs into the Grove-style processor chain."""
     from grove_spark.operators.processors import apply_chain
