@@ -46,6 +46,7 @@ def compact_runs(
     min_dirs: int = 2,
     max_records_per_file: int = 1_000_000,
     connector_key: str = "fleet",
+    sort_within: Optional[list] = None,
 ) -> Optional[dict]:
     """Rewrite committed run dirs whose files are all small into ONE
     partitioned dir, committed as an atomic rewrite record.
@@ -54,7 +55,14 @@ def compact_runs(
     ``small_file_bytes`` (a dir with even one right-sized file is
     already fine — rewriting it would churn bytes for nothing). Needs
     at least ``min_dirs`` candidates to be worth a rewrite. Returns the
-    compaction metrics, or None when there is nothing to do."""
+    compaction metrics, or None when there is nothing to do.
+
+    ``sort_within`` (e.g. ``["event_time"]``) clusters rows inside each
+    written file by those columns — compaction is the natural moment to
+    tighten the per-file min/max ranges that drive watermark pruning
+    (the run dirs being merged each span the same time window, so an
+    unsorted rewrite would give every output file the full merged
+    range)."""
     from grove_spark.operators.sinks import write_partitioned_parquet
     from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
 
@@ -91,6 +99,14 @@ def compact_runs(
     # materialized it as a partition column — drop to avoid a duplicate
     if "date" in df.columns:
         df = df.drop("date")
+
+    if sort_within:
+        # range-cluster ACROSS tasks then sort within: each output file
+        # covers a tight, disjoint slice of the sort key instead of the
+        # full merged window (one extra shuffle, paid once at rewrite)
+        n = max(2, spark.sparkContext.defaultParallelism)
+        df = df.repartitionByRange(n, *sort_within) \
+               .sortWithinPartitions(*sort_within)
 
     run_id = state.new_run_id()
     new_dir = os.path.normpath(f"{out_path}/part-compact-{run_id}")
