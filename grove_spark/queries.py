@@ -2679,6 +2679,82 @@ FROM events
 QUERIES.update({"jmes_functions": q_jmes_functions})
 ORACLE.update({"jmes_functions": SQL_JMES_FUNCTIONS})
 
+
+def q_storage_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage lifecycle END-TO-END under the correctness gate:
+    two incremental batches committed to a run-state manifest (atomic
+    data+stats publish), small-file compaction swapping them for ONE
+    rewritten dir (T1/T8 + the rewrite-record protocol), then a
+    manifest_scan read-back with manifest-resident file pruning. The
+    aggregate must equal a plain predicate over the source — the whole
+    write→commit→compact→prune→read path must be value-preserving —
+    and two plan facts ride along as checked flags: the post-compaction
+    listing is ONE directory, and the pruned scan kept a strict subset
+    of files."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.compaction import compact_runs
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.sources.scans import manifest_scan
+    from grove_spark.state.runstate import RunState
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"grove_lifecycle_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    state = RunState(os.path.join(base, "state"))
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").alias("event_time"),
+        F.lit("logs").alias("descriptor"), F.lit("gate").alias("connector"),
+    )
+    for i, batch in enumerate([
+        ev.where(F.col("event_time") < F.lit("2024-01-08")),
+        ev.where(F.col("event_time") >= F.lit("2024-01-08")),
+    ]):
+        run_id = state.new_run_id()
+        d = os.path.join(base, "out", f"part-{run_id}")
+        state.register_pending(d)
+        write_partitioned_parquet(batch.repartition(2), d)
+        state.commit(
+            "gate", run_id, pointer=f"batch{i}", data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+    res = compact_runs(
+        spark, state, os.path.join(base, "out"),
+        pointer_col="event_time", small_file_bytes=1 << 30,
+        sort_within=["event_time"],
+    )
+    assert res is not None and len(state.committed_paths()) == 1
+    wm = "2024-01-05 00:00:00"
+    ms = manifest_scan(spark, state, pointer_col="event_time", watermark=wm)
+    pr = ms._grove_prune
+    return ms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.max(F.unix_micros(F.col("event_time").cast("timestamp"))).alias("max_ts_us"),
+        F.lit(len(state.committed_paths())).cast("int").alias("n_dirs"),
+        F.lit(int(0 < pr["files_kept"] < pr["files_total"])).cast("int")
+        .alias("pruned_strict_subset"),
+    )
+
+
+SQL_STORAGE_LIFECYCLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       max(epoch_us(ts)) AS max_ts_us,
+       CAST(1 AS INT) AS n_dirs,
+       CAST(1 AS INT) AS pruned_strict_subset
+FROM events
+WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+"""
+
+QUERIES.update({"storage_lifecycle": q_storage_lifecycle})
+ORACLE.update({"storage_lifecycle": SQL_STORAGE_LIFECYCLE})
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) codes for the file-layout operator: interleave
     the low 10 bits of (user_id % 1024, event_id % 1024) in codegen.
