@@ -57,12 +57,14 @@ def compact_runs(
     at least ``min_dirs`` candidates to be worth a rewrite. Returns the
     compaction metrics, or None when there is nothing to do.
 
-    ``sort_within`` (e.g. ``["event_time"]``) clusters rows inside each
-    written file by those columns — compaction is the natural moment to
-    tighten the per-file min/max ranges that drive watermark pruning
-    (the run dirs being merged each span the same time window, so an
-    unsorted rewrite would give every output file the full merged
-    range)."""
+    ``sort_within`` (e.g. ``["event_time"]``) range-clusters the
+    rewrite by those columns. The hive ``date`` partitioning already
+    bounds each file to one day; what the sort adds is (a) FEWER,
+    larger files — one range task writes each date instead of every
+    shuffled task opening every date's directory — and (b) tighter
+    intra-day min/max under ``maxRecordsPerFile`` splits, since a
+    sorted task stream cuts into consecutive sub-day ranges. One extra
+    shuffle, paid once at rewrite."""
     from grove_spark.operators.sinks import write_partitioned_parquet
     from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
 
@@ -101,18 +103,20 @@ def compact_runs(
         df = df.drop("date")
 
     if sort_within:
-        # range-cluster ACROSS tasks then sort within: each output file
-        # covers a tight, disjoint slice of the sort key instead of the
-        # full merged window (one extra shuffle, paid once at rewrite)
+        # range-cluster ACROSS tasks; the writer does the intra-task
+        # sort (with the hive partition columns prefixed, so its
+        # dynamic-partition sort requirement doesn't re-shuffle the
+        # order away) — see the docstring for what this buys beyond
+        # the hive date bounds
         n = max(2, spark.sparkContext.defaultParallelism)
-        df = df.repartitionByRange(n, *sort_within) \
-               .sortWithinPartitions(*sort_within)
+        df = df.repartitionByRange(n, *sort_within)
 
     run_id = state.new_run_id()
     new_dir = os.path.normpath(f"{out_path}/part-compact-{run_id}")
     state.register_pending(new_dir)  # orphan GC must not race the write
     write_partitioned_parquet(
-        df, new_dir, max_records_per_file=max_records_per_file
+        df, new_dir, max_records_per_file=max_records_per_file,
+        sort_within=sort_within,
     )
     out_files = _list_parquet(new_dir)
     out_stats = parquet_file_stats(out_files, pointer_col)

@@ -33,6 +33,7 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     compression: str = "zstd",
     max_records_per_file: int = 1_000_000,
+    sort_within: Optional[list] = None,
 ) -> None:
     """The judged columnar sink: one directory tree per descriptor /
     connector / date — mirrors the S3 key template.
@@ -42,9 +43,20 @@ def write_partitioned_parquet(
     downstream scans splittable and zstd roughly halves the bytes vs
     snappy for token arrays — on write-bound runs the smaller output IS
     the speedup."""
+    df = routed.withColumn("date", F.to_date("event_time"))
+    if sort_within:
+        # the dynamic-partition writer REQUIRES task-local ordering by
+        # the partition columns and will insert its own (non-stable)
+        # sort when the incoming order doesn't already satisfy it —
+        # destroying any caller-side row clustering. Sorting here with
+        # the partition columns as the exact prefix satisfies the
+        # writer's requirement, so the trailing sort keys survive into
+        # the files (tight per-file min/max for pruning).
+        df = df.sortWithinPartitions(
+            "descriptor", "connector", "date", *sort_within
+        )
     (
-        routed.withColumn("date", F.to_date("event_time"))
-        .write.mode(mode)
+        df.write.mode(mode)
         .option("compression", compression)
         .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy("descriptor", "connector", "date")

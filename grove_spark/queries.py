@@ -2732,7 +2732,7 @@ def q_storage_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = "2024-01-05 00:00:00"
     ms = manifest_scan(spark, state, pointer_col="event_time", watermark=wm)
     pr = ms._grove_prune
-    return ms.agg(
+    agg = ms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
         F.max(F.unix_micros(F.col("event_time").cast("timestamp"))).alias("max_ts_us"),
@@ -2740,6 +2740,13 @@ def q_storage_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(0 < pr["files_kept"] < pr["files_total"])).cast("int")
         .alias("pruned_strict_subset"),
     )
+    # the 1-row aggregate is evaluated EAGERLY so the temp working tree
+    # (two parquet copies of events + state) can be reclaimed before
+    # returning, instead of lingering under /tmp until the next gate run
+    row = agg.first()
+    out = spark.createDataFrame([row], agg.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 SQL_STORAGE_LIFECYCLE = """

@@ -131,36 +131,28 @@ def test_compaction_noop_cases(spark, env):
     assert len(state.committed_paths()) == 2
 
 
-def test_sorted_compaction_tightens_file_ranges(spark, env):
-    """sort_within range-clusters the rewrite: each output file covers
-    a disjoint slice of the pointer column, so post-compaction
-    watermark pruning has real ranges to cut (an unsorted rewrite gives
-    every file the full merged window)."""
-    from grove_spark.sources.file_stats import parquet_file_stats
-
+def test_sorted_compaction_orders_rows_and_preserves_them(spark, env):
+    """sort_within's DIRECT mechanism: rows inside every output file
+    are ordered by the pointer column (the shuffled union would almost
+    surely violate this unsorted), and the rewrite is row-identical to
+    the pre-compaction state — loss through the extra range shuffle
+    would be invisible to a duplicates-only check."""
     paths, state, out = env
+    before = _rows(spark, state)
     res = compact_runs(spark, state, out,
                        small_file_bytes=64 * 1024 * 1024,
                        sort_within=["event_time"])
     assert res is not None
-    stats = parquet_file_stats(_list_parquet(res["new_dir"]), "event_time")
-    spans = sorted(
-        (e["min"], e["max"]) for e in stats.values() if e["min"] is not None
-    )
-    assert spans
-    # disjoint (or touching) ranges per hive partition slice: no file
-    # may strictly contain another file's whole span start
-    overlaps = [
-        1 for (lo1, hi1) in spans for (lo2, hi2) in spans
-        if (lo1, hi1) != (lo2, hi2) and lo1 < lo2 and hi1 > hi2
-    ]
-    # same-partition files must not all share the FULL window: at least
-    # two distinct (min, max) spans exist when more than one file does
-    if len(spans) > 1:
-        assert len(set(spans)) > 1 or not overlaps
-    # rows identical to the unsorted path's contract
-    got = _rows(spark, state)
-    assert got == sorted(set(got))
+    assert _rows(spark, state) == before, "sorted rewrite lost/duped rows"
+    # intra-file order: check every multi-row output file
+    checked = 0
+    for f in _list_parquet(res["new_dir"]):
+        ts = [r["event_time"]
+              for r in spark.read.parquet(f).select("event_time").collect()]
+        if len(ts) > 1:
+            checked += 1
+            assert ts == sorted(ts), f"file not sorted by event_time: {f}"
+    assert checked > 0, "no multi-row file to check — fixture too small"
 
 
 def test_rewrite_record_outlives_replaced_records(tmp_path):
