@@ -644,9 +644,21 @@ _LEAF = st.one_of(
 _BASE = st.builds(_compose, _EV_SUFFIX, _LEAF)
 _PIPE_RHS = st.sampled_from(["[0]", "[-1]", "[0:1]", "length(@)",
                              "[::-1]", "[::2]"])
+# function calls composed with trailing paths / ops / pipes — the
+# continuation parser must route every suffix over the call's result
+_FN_BASE = st.sampled_from([
+    "sort_by(events, &name)", "map(&name, events)",
+    "map(&tags, events)", "reverse(events[*].name)",
+    "sort(events[*].name)", "to_array(events[0].name)",
+])
+_FN_SUFFIX = st.sampled_from([
+    "", "[0]", "[-1]", "[0:1]", "[::-1]", " | [0]", " | length(@)",
+])
+_FN_EXPR = st.builds(lambda f, s: f + s, _FN_BASE, _FN_SUFFIX)
 _EXPR = st.one_of(
     _BASE,
     st.builds(lambda e, p: f"{e} | {p}", _BASE, _PIPE_RHS),
+    _FN_EXPR,
     st.sampled_from(["outcome.result", "outcome.score", "id",
                      "length(events)", "{r: outcome.result, n: id}",
                      "metrics.*", "metrics.* | [0]", "length(metrics.*)",
