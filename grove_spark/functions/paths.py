@@ -388,12 +388,20 @@ def _project(col: Column, toks: List[Tuple[str, object]], elem: T.DataType | Non
     the stream itself — jmespath's ``a[].b[]`` merges every element's
     ``b`` into ONE list, so the per-element mapping stops at the flat,
     the stream flattens one level (null results dropped, as a projection
-    drops them), and the remainder re-projects."""
+    drops them), and the remainder re-projects.
+
+    JMESPath projections DROP per-element null results (identity RHS
+    included: ``a[*]`` over ``[1, null, 2]`` is ``[1, 2]``), so every
+    projected stream is null-filtered after its per-element mapping —
+    still one codegen'd lambda chain, no Python."""
     k = next((i for i, (kind, _) in enumerate(toks) if kind == "flat"), None)
     if k is None:
         if not toks:
-            return col
-        return F.transform(col, lambda x: _compile_tokens(toks, x, elem))
+            return F.filter(col, lambda x: x.isNotNull())
+        return F.filter(
+            F.transform(col, lambda x: _compile_tokens(toks, x, elem)),
+            lambda x: x.isNotNull(),
+        )
     before, after = toks[:k], toks[k + 1:]
     if before:
         col = F.transform(col, lambda x: _compile_tokens(before, x, elem))

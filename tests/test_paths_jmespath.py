@@ -620,19 +620,13 @@ _PROJECTING = ("[*]", "[]", "[0:2]", "[1:]", "[:1]", "[-2:]",
 
 
 def _compose(s, l):
-    # two documented deviations excluded from generation:
-    # 1. a bracket FILTER chained after a projection binds to the
-    #    realized outer list in jmespath.py (Pratt-precedence artifact)
-    #    but per-element here;
-    # 2. per-element INDEX results that are null (tags[0] of an empty
-    #    tags) are DROPPED by jmespath projections but kept typed here —
-    #    visible through aggregating pipes (| length(@)), which the
-    #    list-level _lenient normalizer cannot mask
-    if s.startswith("[?") or s in _PROJECTING:
-        if "[?" in l:
-            l = ".name"
-        if l in (".tags[0]", ".tags[-1]"):
-            l = ".tags[0:1]"
+    # one documented deviation excluded from generation: a bracket
+    # FILTER chained after a projection binds to the realized outer
+    # list in jmespath.py (Pratt-precedence artifact) but per-element
+    # here. (Per-element null INDEX results are no longer excluded —
+    # projections drop nulls, matching the library.)
+    if (s.startswith("[?") or s in _PROJECTING) and "[?" in l:
+        l = ".name"
     return "events" + s + l
 
 
@@ -680,15 +674,9 @@ _EXPR = st.one_of(
 )
 
 
-def _lenient(v):
-    """Normalize the DOCUMENTED lenient-null deviation: jmespath
-    projections DROP null per-element results, the typed compilation
-    keeps them (a projection over events[*].tags[0] yields None for an
-    empty tags list). Stripping Nones inside lists on both sides
-    compares everything else exactly."""
-    if isinstance(v, list):
-        return [_lenient(x) for x in v if x is not None]
-    return v
+# (the former _lenient normalizer is gone: projections now DROP null
+# per-element results exactly like the library, so the fuzz compares
+# raw values with no normalization)
 
 
 @given(exprs=st.lists(_EXPR, min_size=1, max_size=12, unique=True))
@@ -719,6 +707,6 @@ def test_randomized_expressions_match_jmespath(df, exprs):
             if want is None and isinstance(have, dict):
                 assert all(v is None for v in have.values()), e
                 continue
-            assert _lenient(have) == _lenient(want), (
+            assert have == want, (
                 f"{e} on id={r['id']}: spark={have} jmespath={want}"
             )
