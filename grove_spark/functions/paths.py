@@ -197,10 +197,16 @@ def _tokens(path: str) -> List[Tuple[str, object]]:
 
 
 def _apply_cmp(col: Column, op: str, value) -> Column:
+    # JMESPath equality is null-safe (null == null is TRUE, null != x is
+    # TRUE — jmespath.py strict equality over the decoded JSON values),
+    # so ==/!= compile to eqNullSafe and never yield SQL null. Ordering
+    # ops keep three-valued logic: a null operand yields null, which
+    # callers coalesce to False — exactly jmespath's "comparison with
+    # null is null (falsy)" rule.
     if op == "==":
-        return col == F.lit(value)
+        return col.eqNullSafe(F.lit(value))
     if op == "!=":
-        return col != F.lit(value)
+        return ~col.eqNullSafe(F.lit(value))
     if op == ">=":
         return col >= F.lit(value)
     if op == "<=":
@@ -1365,10 +1371,11 @@ def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
     ``length()``/``contains()``/...), so e.g. ``length(events) > 2``
     ports verbatim from a reference config.
 
-    An unresolvable path yields lit(False) — JMESPath's null comparand
-    never satisfies a comparison. Spark's three-valued logic applies to
-    null VALUES at a resolvable path (documented deviation: JMESPath
-    treats ``null != x`` as true; callers coalesce nulls to False)."""
+    Equality is null-safe like the library: ``null == null`` is True and
+    ``null != x`` is True, for null VALUES and unresolvable paths alike
+    (an unresolvable path is jmespath-null). Ordering comparisons with a
+    null side yield SQL null (falsy) — also the library's rule — which
+    callers coalesce to False."""
     m = _split_cmp(expr_str.strip())
     if not m:
         return None
@@ -1376,6 +1383,11 @@ def compile_predicate(schema: T.StructType, expr_str: str) -> Column | None:
     value = _parse_literal(lit_raw)
     sub = compile_expr(schema, path)
     if sub is None:
+        # jmespath-null comparand: constant-fold the comparison
+        if op == "==":
+            return F.lit(value is None)
+        if op == "!=":
+            return F.lit(value is not None)
         return F.lit(False)
     return _apply_cmp(sub[0], op, value)
 

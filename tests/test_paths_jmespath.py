@@ -75,7 +75,8 @@ def test_nested_wildcards(spark, df):
 def test_compile_predicate_forms(spark, df):
     cases = {
         "outcome.result == 'FAILURE'": [1],
-        "outcome.result != 'FAILURE'": [2],   # null outcome -> null -> not matched
+        # null-safe !=: the null-outcome row MATCHES (jmespath: null != x)
+        "outcome.result != 'FAILURE'": [2, 3],
         "outcome.score >= 0.5": [1],
         "outcome.score < 0.5": [2],
         "id > 2": [3],
@@ -603,6 +604,8 @@ _EV_PRED = st.sampled_from([
     "name == 'login' || name == 'logout'",
     "(name == 'read') && tags", "!(name == 'login')",
     "tags[?@ == 'a']",
+    # null-safe equality (jmespath: null == null true, null != x true)
+    "tags[0] == `null`", "tags[0] != `null`", "tags[0] != 'a'",
 ])
 _EV_SUFFIX = st.one_of(
     st.just(""),
