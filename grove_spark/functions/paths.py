@@ -1168,10 +1168,21 @@ def _compile_function(schema, fn: str, args: List[str], base, expr: str):
                     F.coalesce(col.cast("string"), F.lit("null")),
                     T.StringType(),
                 )
-            raise ValueError(
-                "to_string() over composites deviates (JSON formatting "
-                "differs between engines) — documented loud error"
-            )
+            if isinstance(t, (T.StructType, T.ArrayType, T.MapType)):
+                # jmespath JSON-encodes composites compactly with nulls
+                # kept (json.dumps(v, separators=(',',':'))) — exactly
+                # Spark's to_json with ignoreNullFields off. Known
+                # residue: non-ASCII stays raw UTF-8 here where the
+                # library \u-escapes (ensure_ascii), and struct keys
+                # serialize in SCHEMA order (the library keeps the
+                # document's insertion order).
+                return (
+                    F.when(col.isNull(), F.lit("null")).otherwise(
+                        F.to_json(col, {"ignoreNullFields": "false"})
+                    ),
+                    T.StringType(),
+                )
+            raise ValueError(f"to_string() over {t} (invalid-type)")
         if fn == "reverse":
             if isinstance(t, (T.ArrayType, T.StringType)):
                 return F.reverse(col), t

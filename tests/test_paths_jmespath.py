@@ -391,10 +391,23 @@ def test_function_library_invalid_types_are_loud():
         compile_expr(SCHEMA, "sort_by(events, name)")
     with pytest.raises(ValueError, match="arity"):
         compile_expr(SCHEMA, "sort_by(events)")
-    # to_string over composites: documented loud deviation (JSON
-    # formatting differs between engines)
-    with pytest.raises(ValueError, match="to_string"):
-        compile_expr(SCHEMA, "to_string(events)")
+
+
+def test_to_string_composites_match_jmespath(df):
+    """to_string over structs/arrays/maps == the library's compact JSON
+    (nulls kept, quotes escaped) — checked row-for-row as strings."""
+    from grove_spark.functions.paths import compile_expr
+
+    exprs = ["to_string(outcome)", "to_string(events)",
+             "to_string(events[0])", "to_string(metrics)",
+             "to_string(events[*].name)", "to_string(events[0].tags)"]
+    cols = [compile_expr(SCHEMA, e)[0].alias(f"e{i}")
+            for i, e in enumerate(exprs)]
+    got = {r["id"]: r for r in df.select(F.col("id"), *cols).collect()}
+    for row in DICT_ROWS:
+        for i, e in enumerate(exprs):
+            want = jmespath.search(e, row)
+            assert got[row["id"]][f"e{i}"] == want, (e, row["id"])
 
 
 def test_filter_projections_match_jmespath(df):
@@ -667,6 +680,8 @@ _EXPR = st.one_of(
                      "sort(events[*].name)", "reverse(events[*].name)",
                      "join('-', events[*].name)", "keys(metrics)",
                      "values(metrics)", "to_string(metrics.cnt)",
+                     "to_string(outcome)", "to_string(events[0])",
+                     "to_string(events[*].name)", "to_string(metrics)",
                      "type(events)", "type(outcome)", "type(missing)",
                      "not_null(missing, outcome.result)",
                      "map(&name, events)", "map(&tags[0], events)",
