@@ -1066,8 +1066,9 @@ def _compile_function(schema, fn: str, args: List[str], base, expr: str):
     library's invalid-type error, surfaced earlier); null operands
     follow the documented lenient null-in/null-out family. Functions
     whose jmespath semantics cannot be reproduced exactly in a typed
-    engine (to_string of composites — JSON formatting differs) raise
-    loudly rather than deviate silently."""
+    engine raise loudly rather than deviate silently (to_string of
+    composites compiles to compact to_json — known residue: schema
+    field order and raw-UTF-8 output, noted at the call site)."""
 
     def sub(i):
         return compile_expr(schema, args[i], quoted_is_field=False, base=base)
