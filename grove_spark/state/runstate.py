@@ -562,9 +562,13 @@ class RunState:
         registration happens before the write, so the dir-missing window
         is exactly when protection matters.
 
-        Runs under the commit lock so a concurrent committer can't
-        publish between the read and the rewrite. Returns
-        {expired_records, deleted_dirs, orphans_deleted}."""
+        Runs under the commit lock so a same-host committer can't
+        publish between the read and the rewrite. Cross-HOST committers
+        (invisible to the flock) are fenced two ways: their claimed /
+        published run files above this scan's root snapshot shield
+        their data dirs from the orphan sweep, and the final version
+        bump is conditional (O_EXCL claim), skipped on conflict.
+        Returns {expired_records, deleted_dirs, orphans_deleted}."""
         import shutil
 
         with self._exclusive():
@@ -638,13 +642,39 @@ class RunState:
                 p for p, ts in pending.items() if now - ts < pending_ttl_s
             }
             expired_pending = set(pending) - live_pending
+            # cross-host guard: a committer that claimed or published a
+            # version ABOVE the root snapshot this scan loaded has run
+            # records the scan never saw — its data dirs must not look
+            # like orphans. Read ORDER closes the race: pending markers
+            # were read first (above), claims second (here); a committer
+            # clears its marker only after its claim file is visible, so
+            # every committed dir is covered by at least one of the two
+            # reads. Dead claims' dirs get one cycle of shelter; the
+            # claim itself is swept below, so the NEXT retention pass
+            # collects them as ordinary orphans.
+            above_root_refs = set()
+            for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
+                try:
+                    fv = int(os.path.splitext(os.path.basename(p))[0])
+                except ValueError:  # pragma: no cover
+                    continue
+                if fv <= root["version"]:
+                    continue
+                try:
+                    with open(p) as f:
+                        for r in json.load(f).get("records", []):
+                            for dp in r.get("data_paths") or []:
+                                above_root_refs.add(norm(dp))
+                except (OSError, ValueError):  # raced reclaim / partial
+                    continue
             orphans = set()
             deletable_markers = set()
             if delete_orphans_under:
                 cutoff = now - orphan_grace_s
                 for d in _glob.glob(os.path.join(delete_orphans_under, "part-*")):
                     nd = norm(d)
-                    if nd in all_referenced or nd in live_pending:
+                    if (nd in all_referenced or nd in live_pending
+                            or nd in above_root_refs):
                         continue
                     # a TTL-expired marker usually means a crashed writer
                     # — but a write can legitimately run longer than the
@@ -770,12 +800,16 @@ class RunState:
                 # — resurrection), so on conflict the bump is simply
                 # skipped: retention already removed the dead residue,
                 # and the fencing the bump provides is unnecessary while
-                # a live writer owns the next version. NOTE: like
-                # Iceberg's expire_snapshots on stores without a
-                # conditional catalog swap, running retention
-                # concurrently with cross-host committers can still
-                # interleave the final root replaces — schedule
-                # expire_runs from one place.
+                # a live writer owns the next version. The claim protocol
+                # serializes the root writes themselves (the bump lands
+                # only when retention owns stale_version+1, which proves
+                # no commit published since the snapshot; committers can
+                # only claim read_version+1, so they wait behind a
+                # published root). NOTE: the remaining caveat is TWO
+                # retention passes from different hosts rewriting the
+                # same historical run files concurrently (last atomic
+                # write wins — no data loss, but trims can un-apply for
+                # one cycle) — schedule expire_runs from one place.
                 v = root["version"] + 1
                 try:
                     self._claim_version(v, {"records": []})

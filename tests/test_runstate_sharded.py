@@ -66,6 +66,39 @@ def test_commit_preserves_prev_fields_and_conflicts(tmp_path):
         state.commit("k", "r3", expected_version=v0)
 
 
+def test_orphan_gc_shields_cross_host_commits_above_root(tmp_path):
+    """A cross-host committer's run file above the root snapshot (its
+    root replace not yet observed by the retention scan — flock is
+    invisible over NFS) references data dirs the scan never saw; with
+    the pending marker already cleared post-commit and the dir's mtime
+    past any grace, the orphan sweep must STILL not delete them. The
+    claim-file rescan (read after pending markers — order closes the
+    handoff race) is the guard."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    committed = out / "part-remote"
+    committed.mkdir(parents=True)
+    old = time.time() - 3600
+    os.utime(committed, (old, old))
+    state.commit("k", "r0", pointer="1")  # root at v1
+    # plant the remote committer's published run file at v2 (> root):
+    # records present, marker cleared, exactly the post-claim state
+    with open(os.path.join(state.root, "runs", f"{2:012d}.json"), "w") as f:
+        json.dump({"records": [{"run_id": "remote", "key": "k2",
+                                "pointer": "9", "metrics": {},
+                                "data_paths": [str(committed)]}]}, f)
+    res = state.expire_runs(delete_orphans_under=str(out))
+    assert committed.exists(), "orphan sweep deleted a cross-host commit's data"
+    assert str(committed) not in res["orphans_deleted"]
+    # a genuinely unreferenced stale dir in the same root still collects
+    crashed = out / "part-crashed"
+    crashed.mkdir()
+    os.utime(crashed, (old, old))
+    res2 = state.expire_runs(delete_orphans_under=str(out))
+    assert str(crashed) in res2["orphans_deleted"] and not crashed.exists()
+    assert committed.exists()
+
+
 def test_pending_paths_protect_inflight_writes(tmp_path):
     """A data dir registered as pending must survive orphan GC even
     though no manifest references it yet; after its commit the marker
