@@ -1,0 +1,269 @@
+"""Trained byte-level BPE tokenizer — text -> the pipeline's native
+``tokens: array<int32>`` column.
+
+The routing/enrich pipeline (plans/pipeline.py) consumes PRE-tokenized
+sequences; this operator is the missing front door: train a byte-pair
+vocabulary on a corpus and materialize ``(doc_id, tokens, n_tok,
+source)`` from raw documents — the exact input shape the engine's
+10^12-row table carries. No external model or tokenizer library.
+
+Scale shape (the 100 TB story):
+
+* TRAINING is one distributed piece-frequency aggregation (built-in
+  ``regexp_extract_all`` + explode + groupBy — map-side combined) whose
+  top ``max_words`` rows come to the driver; the merge loop runs there
+  over that bounded, Zipf-truncated table (the IVF-centroid pattern:
+  bounded driver sample, distributed everything-else). Truncation is
+  principled: BPE statistics are dominated by frequent pieces.
+* ENCODE is one ``mapInPandas`` kernel (Arrow batches, zero shuffle,
+  no per-row Python in the plan) with a per-executor piece->ids memo —
+  Zipf makes the memo hit rate ~1, so each distinct piece pays the
+  merge walk once per executor, not once per occurrence.
+* DECODE compiles to pure Catalyst (``F.aggregate`` concat over a
+  literal id->bytes array) — JVM-side, no Python anywhere in the plan
+  (higher-order functions evaluate outside the codegen span but never
+  leave the executor JVM).
+
+Byte-level base vocabulary (ids 0..255 are raw bytes) guarantees every
+string is encodable and ``decode(encode(s)) == s`` EXACTLY — there is
+no unknown-token path. Pre-tokenization bounds merges to piece
+boundaries; its regex partitions the string completely (letters |
+digits | whitespace | underscore | other), so piece concatenation is
+lossless. The Spark-side training splitter uses the Java-regex
+equivalent; for exotic scripts the two may split differently, which
+only shifts training statistics — apply-time roundtrip never depends
+on it.
+
+Reference contact: grove has no tokenizer (it ships raw log entries;
+processors/split_path.py:1 is its only text splitter) — this operator
+is part of the beyond-reference training-data surface, same family as
+operators/packing.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Python (apply-time, canonical) and Java (train-time, distributed)
+# piece splitters. Both partition completely; see module docstring.
+_PY_PIECE = re.compile(r"[^\W\d_]+|\d+|\s+|[^\w\s]+|_+")
+SPARK_PIECE_PAT = r"[\p{L}\p{M}]+|\p{N}+|\s+|[^\p{L}\p{M}\p{N}\s_]+|_+"
+
+_BASE = 256  # ids 0..255 are raw bytes
+
+
+@dataclass(frozen=True)
+class BPETokenizer:
+    """An immutable trained tokenizer: ``merges[i]`` is the byte-pair
+    merged into id ``256 + i``. ``vocab_bytes[id]`` is the id's byte
+    string (the decode table)."""
+
+    merges: Tuple[Tuple[int, int], ...]
+
+    @property
+    def vocab_size(self) -> int:
+        return _BASE + len(self.merges)
+
+    @property
+    def vocab_bytes(self) -> List[bytes]:
+        out = [bytes([i]) for i in range(_BASE)]
+        for a, b in self.merges:
+            out.append(out[a] + out[b])
+        return out
+
+    def ranks(self) -> Dict[Tuple[int, int], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+    # -- plain-python encode/decode (the executable spec; tests + memo
+    #    kernel both call it) --------------------------------------------
+    def encode_piece(self, piece: str) -> List[int]:
+        ids = list(piece.encode("utf-8"))
+        ranks = self.ranks()
+        while len(ids) > 1:
+            best, best_rank = None, None
+            for pair in zip(ids, ids[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = pair, r
+            if best is None:
+                break
+            a, b = best
+            merged, i = [], 0
+            while i < len(ids):
+                if i + 1 < len(ids) and ids[i] == a and ids[i + 1] == b:
+                    merged.append(_BASE + best_rank)
+                    i += 2
+                else:
+                    merged.append(ids[i])
+                    i += 1
+            ids = merged
+        return ids
+
+    def encode(self, text: str) -> List[int]:
+        out: List[int] = []
+        for piece in _PY_PIECE.findall(text):
+            out.extend(self.encode_piece(piece))
+        return out
+
+    def decode(self, ids: List[int]) -> str:
+        vb = self.vocab_bytes
+        return b"".join(vb[i] for i in ids).decode("utf-8")
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 256,
+    max_words: int = 30_000,
+) -> BPETokenizer:
+    """Train ``num_merges`` byte-pair merges on a corpus.
+
+    Deterministic end to end: the distributed piece count is truncated
+    with a total order (count DESC, piece ASC) and the merge loop
+    tie-breaks equal pair counts by pair id. Cost: one shuffle over
+    distinct pieces (map-side combined), then a driver loop over at
+    most ``max_words`` rows with an inverted pair->words index so each
+    merge touches only the words containing it."""
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(SPARK_PIECE_PAT), F.lit(0))
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .count()
+        .orderBy(F.desc("count"), F.asc("piece"))
+        .limit(max_words)
+        .collect()
+    )
+    words: List[List[int]] = [list(r["piece"].encode("utf-8")) for r in counts]
+    freqs: List[int] = [int(r["count"]) for r in counts]
+
+    import heapq
+
+    pair_counts: Dict[Tuple[int, int], int] = {}
+    pair_words: Dict[Tuple[int, int], set] = {}
+    for wi, w in enumerate(words):
+        for pair in zip(w, w[1:]):
+            pair_counts[pair] = pair_counts.get(pair, 0) + freqs[wi]
+            pair_words.setdefault(pair, set()).add(wi)
+
+    # max-selection via a lazy-deletion heap: stale entries (count moved
+    # since push) are popped and dropped; each selection is O(log n)
+    # amortized instead of a full scan per merge. (-count, pair) keys
+    # make ties resolve to the smallest pair — deterministic.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: List[Tuple[int, int]] = []
+    for step in range(num_merges):
+        pair = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc and -negc > 0:
+                pair = p
+                break
+        if pair is None:
+            break
+        new_id = _BASE + step
+        merges.append(pair)
+        a, b = pair
+        for wi in list(pair_words.get(pair, ())):
+            w, f = words[wi], freqs[wi]
+            merged, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    merged.append(new_id)
+                    i += 2
+                else:
+                    merged.append(w[i])
+                    i += 1
+            touched = set()
+            for p in zip(w, w[1:]):
+                pair_counts[p] -= f
+                touched.add(p)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in zip(merged, merged[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                touched.add(p)
+                pair_words.setdefault(p, set()).add(wi)
+            words[wi] = merged
+            for p in touched:
+                c = pair_counts.get(p, 0)
+                if c > 0:
+                    heapq.heappush(heap, (-c, p))
+    return BPETokenizer(merges=tuple(merges))
+
+
+def tokenize(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — the BPE encoding of
+    ``text_col``. One Arrow kernel, no shuffle; merge ranks ship in the
+    task closure (a few KB), pieces are memoized per executor."""
+    merges = tokenizer.merges
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        tok = BPETokenizer(merges=merges)
+        memo: Dict[str, List[int]] = {}
+
+        def enc(text) -> List[int]:
+            out: List[int] = []
+            for piece in _PY_PIECE.findall(text if text is not None else ""):
+                ids = memo.get(piece)
+                if ids is None:
+                    if len(memo) > 1_000_000:  # runaway-vocab backstop
+                        memo.clear()
+                    ids = memo[piece] = tok.encode_piece(piece)
+                out.extend(ids)
+            return out
+
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(enc)
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def detokenize_col(tokens: Column, tokenizer: BPETokenizer) -> Column:
+    """Pure-Catalyst decode: fold the id list over a literal id->bytes
+    table and reinterpret the concatenated bytes as UTF-8. The cheap
+    direction runs entirely in the executor JVM — no Python."""
+    vocab = F.array(*[F.lit(b) for b in tokenizer.vocab_bytes])
+    return F.aggregate(
+        tokens,
+        F.lit(b""),
+        lambda acc, i: F.concat(acc, F.element_at(vocab, i + F.lit(1))),
+    ).cast("string")
+
+
+def tokenize_documents(
+    docs: DataFrame,
+    tokenizer: BPETokenizer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Documents -> the pipeline's native input shape
+    ``(doc_id, tokens array<int32>, n_tok int, source)`` (the
+    pre-tokenized-sequence table plans/pipeline.py consumes)."""
+    return tokenize(docs, tokenizer, text_col=text_col).select(
+        id_col,
+        F.col("tokens").cast(T.ArrayType(T.IntegerType())).alias("tokens"),
+        F.size("tokens").cast("int").alias("n_tok"),
+        source_col,
+    )

@@ -2892,3 +2892,49 @@ FROM corpus c LEFT JOIN agg a USING (doc_id)
 
 QUERIES.update({"lm_score": q_lm_score})
 ORACLE.update({"lm_score": SQL_LM_SCORE})
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained byte-level BPE over documents — the text -> tokens front
+    door producing the pipeline's native (doc_id, tokens:array<int32>,
+    n_tok, source) shape (operators/tokenizer.py; grove itself has no
+    tokenizer — beyond-reference training-data surface).
+
+    BPE encode is not SQL-expressible, so the gate follows the
+    deterministic-flag convention (see ann_lsh): the Spark side checks
+    the tokenizer's defining invariants PER DOCUMENT and emits flags
+    the oracle derives trivially — roundtrip_ok (the pure-Catalyst
+    decode of the encoded ids reproduces the text EXACTLY; byte-level
+    BPE has no unknown-token path, so any mismatch is a real bug) and
+    tok_le_bytes (merges only ever shrink the id sequence, so n_tok
+    never exceeds the UTF-8 byte count). Training is deterministic
+    (total-order truncation + lexicographic tie-breaks), so the flags
+    are exact, not probabilistic."""
+    from grove_spark.operators.tokenizer import (
+        detokenize_col,
+        tokenize,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_bpe(docs, num_merges=256)
+    enc = tokenize(docs, tok)
+    return enc.select(
+        "doc_id",
+        (detokenize_col(F.col("tokens"), tok) == F.col("text"))
+        .cast("int")
+        .alias("roundtrip_ok"),
+        (F.size("tokens") <= F.octet_length("text"))
+        .cast("int")
+        .alias("tok_le_bytes"),
+    )
+
+
+SQL_BPE_TOKENIZE = """
+SELECT doc_id, CAST(1 AS INT) AS roundtrip_ok, CAST(1 AS INT) AS tok_le_bytes
+FROM documents
+"""
+
+
+QUERIES.update({"bpe_tokenize": q_bpe_tokenize})
+ORACLE.update({"bpe_tokenize": SQL_BPE_TOKENIZE})

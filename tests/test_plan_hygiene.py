@@ -168,7 +168,10 @@ def test_every_gate_query_is_python_free(spark):
     # media codecs (encode/decode is inherently per-blob Python — Arrow
     # batched, never row-at-a-time)
     allowed_arrow = {"ann_ivf", "ann_ivf_indexed", "bmp_decode",
-                     "wav_decode", "png_decode", "jpeg_decode"}
+                     "wav_decode", "png_decode", "jpeg_decode",
+                     # BPE encode: iterative merge walk, Arrow-batched
+                     # with per-executor piece memo (decode IS Catalyst)
+                     "bpe_tokenize"}
     for name, fn in QUERIES.items():
         if name == "stream_tumbling":
             continue  # executes a streaming query; covered by its own test

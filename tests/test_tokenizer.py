@@ -1,0 +1,162 @@
+"""Trained byte-level BPE tokenizer: determinism, exact roundtrip,
+sequential-merge equivalence, Spark kernel + pure-Catalyst decode."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grove_spark.operators.tokenizer import (
+    _PY_PIECE,
+    BPETokenizer,
+    detokenize_col,
+    tokenize,
+    tokenize_documents,
+    train_bpe,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox again and again and again",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+    "the the the quick quick brown",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+
+
+@pytest.fixture(scope="module")
+def tok(corpus_df):
+    return train_bpe(corpus_df, num_merges=64)
+
+
+def test_training_is_deterministic(corpus_df, tok):
+    assert train_bpe(corpus_df, num_merges=64).merges == tok.merges
+    assert len(tok.merges) > 0
+    # frequent words collapse into few ids: "the" occurs most — some
+    # merged token's bytes must spell it
+    assert b"the" in tok.vocab_bytes
+
+
+def test_piece_regex_partitions_completely():
+    for s in ["a_b c", "x2y", "héllo wörld", "a,b;c", "\t \n", "🎉a🎉",
+              "__init__", "1e-5", ""]:
+        assert "".join(_PY_PIECE.findall(s)) == s
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_any_text(s):
+    """Byte-level base vocab: EVERY string roundtrips exactly, trained
+    merges or not."""
+    tok = BPETokenizer(merges=((116, 104), (256, 101)))  # th, the
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_encode_equals_sequential_merge_application(tok):
+    """Greedy min-rank encoding must equal applying each merge pass in
+    rank order — the BPE definition."""
+    def sequential(piece):
+        ids = list(piece.encode("utf-8"))
+        for rank, (a, b) in enumerate(tok.merges):
+            out, i = [], 0
+            while i < len(ids):
+                if i + 1 < len(ids) and ids[i] == a and ids[i + 1] == b:
+                    out.append(256 + rank)
+                    i += 2
+                else:
+                    out.append(ids[i])
+                    i += 1
+            ids = out
+        return ids
+
+    for piece in ["the", "quick", "again", "jumps", "zzz", "q"]:
+        assert tok.encode_piece(piece) == sequential(piece)
+
+
+def test_spark_encode_catalyst_decode_roundtrip(spark, corpus_df, tok):
+    res = tokenize(corpus_df, tok).select(
+        "text",
+        detokenize_col(F.col("tokens"), tok).alias("rt"),
+        F.size("tokens").alias("n_tok"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    rows = res.collect()
+    assert len(rows) == len(CORPUS)
+    for r in rows:
+        assert r["rt"] == r["text"]
+        assert 0 < r["n_tok"] <= r["n_bytes"]
+    # trained merges actually compress
+    assert sum(r["n_tok"] for r in rows) < sum(r["n_bytes"] for r in rows)
+
+
+def test_decode_plan_is_pure_catalyst(spark, corpus_df, tok):
+    """The cheap direction (decode) must not leave the JVM; encode is
+    the sanctioned Arrow kernel (MapInPandas), never row-at-a-time."""
+    enc = tokenize(corpus_df, tok)
+    plan_enc = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_enc
+    assert "MapInPandas" in plan_enc
+    toks_df = spark.createDataFrame(
+        [([104, 105],)],
+        T.StructType([T.StructField("tokens", T.ArrayType(T.IntegerType()))]),
+    )
+    pure = toks_df.select(detokenize_col(F.col("tokens"), tok).alias("s"))
+    plan_pure = pure._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan_pure
+    assert pure.collect()[0]["s"] == "hi"
+
+
+def test_null_and_empty_text(spark, tok):
+    df = spark.createDataFrame(
+        [(0, None), (1, "")],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    rows = {r["doc_id"]: r for r in tokenize(df, tok).collect()}
+    assert rows[0]["tokens"] == [] and rows[1]["tokens"] == []
+
+
+def test_tokenize_documents_native_shape(spark, corpus_df, tok):
+    """Output is the pipeline's pre-tokenized input shape
+    (doc_id, tokens:array<int32>, n_tok:int32, source)."""
+    docs = corpus_df.withColumn("source", F.lit("src0"))
+    out = tokenize_documents(docs, tok)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("doc_id", "bigint"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+    r = out.orderBy("doc_id").first()
+    assert r["n_tok"] == len(r["tokens"]) > 0
+
+
+def test_vocab_saturation_stops_early(spark):
+    """A corpus whose every word fully merges stops producing merges —
+    no padding of the merge list past usefulness."""
+    df = spark.createDataFrame(
+        [(0, "ab ab ab")],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    tok = train_bpe(df, num_merges=1000)
+    assert len(tok.merges) < 10
+    assert tok.encode("ab ab") == [tok.encode_piece("ab")[0],
+                                   tok.encode(" ")[0],
+                                   tok.encode_piece("ab")[0]]
