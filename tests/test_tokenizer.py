@@ -160,3 +160,45 @@ def test_vocab_saturation_stops_early(spark):
     assert tok.encode("ab ab") == [tok.encode_piece("ab")[0],
                                    tok.encode(" ")[0],
                                    tok.encode_piece("ab")[0]]
+
+
+def test_text_to_routed_pipeline_composes(spark):
+    """The missing front door, composed end-to-end: RAW TEXT -> trained
+    BPE -> the pipeline's native (doc_id, tokens, n_tok, source) shape
+    -> the flagship parse->enrich->route->aggregate plan. Token arrays
+    must survive routing byte-exactly: decoding every routed row's
+    payload reproduces the original document text."""
+    from pyspark.sql import functions as F
+
+    from grove_spark.fixtures.generator import gen_sinks_dim, gen_sources_dim
+    from grove_spark.plans.pipeline import build_pipeline
+
+    texts = [
+        (i, ["okta", "github", "slack"][i % 3],
+         f"user u{i} logged in from host h{i % 7} with status ok")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, source string, text string")
+    tok = train_bpe(docs, num_merges=128)
+    seq = tokenize_documents(docs, tok).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    sources = spark.createDataFrame(gen_sources_dim())
+    sinks = spark.createDataFrame(gen_sinks_dim())
+    res = build_pipeline(seq, sources, sinks, n_partitions=4)
+
+    # per-sink counts: okta routes to logs/processed/archive (i%3==0 in
+    # the dim), github+slack to logs/processed
+    counts = {r["descriptor"]: r["rows"] for r in res.counts.collect()}
+    assert counts["logs"] == 60 and counts["processed"] == 60
+    assert counts["archive"] == 20  # okta docs only
+
+    routed = res.routed.select(
+        "doc_id", detokenize_col(F.col("routed_tokens"), tok).alias("rt")
+    )
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = routed.collect()
+    assert len(rows) == 140  # 60+60+20 fan-out
+    for r in rows:
+        assert r["rt"] == orig[r["doc_id"]]
