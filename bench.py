@@ -288,6 +288,48 @@ def dedup_scale_run(
     }
 
 
+def tokenizer_run(spark, docs_path: str) -> dict:
+    """Text -> tokens front door: BPE train wall (one distributed piece
+    count + bounded driver merge loop) and encode throughput (one Arrow
+    kernel, per-executor piece memo). Roundtrip is asserted on a sample
+    through the pure-Catalyst decode — a throughput number that silently
+    corrupted tokens would be worthless."""
+    from pyspark.sql import functions as F
+
+    from grove_spark.operators.tokenizer import (
+        detokenize_col,
+        tokenize,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(docs_path).repartition(CPUS * 2).persist()
+    n_docs = docs.count()
+    n_bytes = docs.agg(F.sum(F.octet_length("text"))).first()[0]
+    t0 = time.perf_counter()
+    tok = train_bpe(docs, num_merges=256)
+    train_s = time.perf_counter() - t0
+    enc = tokenize(docs, tok)
+    t0 = time.perf_counter()
+    total_tok = enc.agg(F.sum(F.size("tokens"))).first()[0]
+    enc_s = time.perf_counter() - t0
+    bad = (
+        enc.where(F.col("doc_id") % 97 == 0)
+        .where(detokenize_col(F.col("tokens"), tok) != F.col("text"))
+        .count()
+    )
+    docs.unpersist()
+    assert bad == 0, "tokenizer roundtrip failed on sampled docs"
+    return {
+        "n_docs": n_docs,
+        "train_wall_s": round(train_s, 3),
+        "encode_wall_s": round(enc_s, 3),
+        "encode_docs_per_sec": round(n_docs / enc_s, 1),
+        "encode_mb_per_sec": round(n_bytes / enc_s / 1e6, 2),
+        "tokens_per_byte": round(total_tok / n_bytes, 4),
+        "roundtrip_sample_bad": bad,
+    }
+
+
 def e2e_run(spark, paths, n_partitions: int) -> tuple[float, int]:
     """Pipeline incl. salted repartition + partitioned per-sink parquet
     write (dictionary encoding off: token values are near-uniform ints,
@@ -379,6 +421,7 @@ def main() -> None:
     e2e_wall = min(e2e_wall, w2)
 
     dedup_stats = dedup_run(spark, dedup_docs)
+    tokenizer_stats = tokenizer_run(spark, dedup_docs)
     dedup_scale_stats = dedup_scale_run(
         spark, dedup_scale_docs, boiler_every=boiler_every
     )
@@ -418,6 +461,7 @@ def main() -> None:
                     "seqs_per_sec": round(e2e_rows / e2e_wall, 1),
                 },
                 "dedup": dedup_stats,
+                "tokenizer": tokenizer_stats,
                 "dedup_scale": dedup_scale_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
