@@ -308,15 +308,16 @@ def tokenizer_run(spark, docs_path: str) -> dict:
     t0 = time.perf_counter()
     tok = train_bpe(docs, num_merges=256)
     train_s = time.perf_counter() - t0
-    enc = tokenize(docs, tok)
     t0 = time.perf_counter()
-    total_tok = enc.agg(F.sum(F.size("tokens"))).first()[0]
+    total_tok = tokenize(docs, tok).agg(F.sum(F.size("tokens"))).first()[0]
     enc_s = time.perf_counter() - t0
-    bad = (
-        enc.where(F.col("doc_id") % 97 == 0)
-        .where(detokenize_col(F.col("tokens"), tok) != F.col("text"))
-        .count()
-    )
+    # roundtrip over a pre-filtered sample: the % filter cannot push
+    # below the opaque MapInPandas node, so filtering the ENCODED frame
+    # would re-run the full encode a second time
+    sample = tokenize(docs.where(F.col("doc_id") % 97 == 0), tok)
+    bad = sample.where(
+        detokenize_col(F.col("tokens"), tok) != F.col("text")
+    ).count()
     docs.unpersist()
     assert bad == 0, "tokenizer roundtrip failed on sampled docs"
     return {

@@ -1173,10 +1173,13 @@ def _compile_function(schema, fn: str, args: List[str], base, expr: str):
                 # jmespath JSON-encodes composites compactly with nulls
                 # kept (json.dumps(v, separators=(',',':'))) — exactly
                 # Spark's to_json with ignoreNullFields off. Known
-                # residue: non-ASCII stays raw UTF-8 here where the
-                # library \u-escapes (ensure_ascii), and struct keys
+                # residues: non-ASCII stays raw UTF-8 here where the
+                # library \u-escapes (ensure_ascii); struct keys
                 # serialize in SCHEMA order (the library keeps the
-                # document's insertion order).
+                # document's insertion order); and nested DOUBLES in
+                # Java's scientific-notation range render as 1.0E20
+                # where python emits 1e+20 (the two runtimes' notation
+                # thresholds and exponent formats differ).
                 return (
                     F.when(col.isNull(), F.lit("null")).otherwise(
                         F.to_json(col, {"ignoreNullFields": "false"})

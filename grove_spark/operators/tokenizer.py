@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import cached_property
 from typing import Dict, Iterator, List, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -70,21 +71,29 @@ class BPETokenizer:
     def vocab_size(self) -> int:
         return _BASE + len(self.merges)
 
-    @property
+    # cached_property writes straight into __dict__, which bypasses the
+    # frozen guard — the dataclass stays immutable to callers while the
+    # derived tables build once per instance (ranks() sits on the encode
+    # hot path: one lookup table, not one dict build per piece)
+    @cached_property
     def vocab_bytes(self) -> List[bytes]:
         out = [bytes([i]) for i in range(_BASE)]
         for a, b in self.merges:
             out.append(out[a] + out[b])
         return out
 
-    def ranks(self) -> Dict[Tuple[int, int], int]:
+    @cached_property
+    def _ranks(self) -> Dict[Tuple[int, int], int]:
         return {pair: i for i, pair in enumerate(self.merges)}
+
+    def ranks(self) -> Dict[Tuple[int, int], int]:
+        return self._ranks
 
     # -- plain-python encode/decode (the executable spec; tests + memo
     #    kernel both call it) --------------------------------------------
     def encode_piece(self, piece: str) -> List[int]:
         ids = list(piece.encode("utf-8"))
-        ranks = self.ranks()
+        ranks = self._ranks
         while len(ids) > 1:
             best, best_rank = None, None
             for pair in zip(ids, ids[1:]):

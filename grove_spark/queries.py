@@ -2919,12 +2919,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = train_bpe(docs, num_merges=256)
     enc = tokenize(docs, tok)
+    # total flags: the encoder maps null text to [] (same as ""), so
+    # both invariants compare against coalesce(text, '') — a null text
+    # row yields 1/1, matching the oracle's constants, never NULL
+    text = F.coalesce(F.col("text"), F.lit(""))
     return enc.select(
         "doc_id",
-        (detokenize_col(F.col("tokens"), tok) == F.col("text"))
+        (detokenize_col(F.col("tokens"), tok) == text)
         .cast("int")
         .alias("roundtrip_ok"),
-        (F.size("tokens") <= F.octet_length("text"))
+        (F.size("tokens") <= F.octet_length(text))
         .cast("int")
         .alias("tok_le_bytes"),
     )

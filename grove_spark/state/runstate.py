@@ -529,6 +529,27 @@ class RunState:
                             os.remove(stale)
             self._clear_pending(committed_paths)
 
+    def _above_root_data_paths(self, root_version: int) -> set:
+        """Data paths referenced by run files ABOVE a root snapshot —
+        cross-host commits (claimed or published) this scan's snapshot
+        never saw. Normpath'd for orphan comparison."""
+        refs: set = set()
+        for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
+            try:
+                fv = int(os.path.splitext(os.path.basename(p))[0])
+            except ValueError:  # pragma: no cover
+                continue
+            if fv <= root_version:
+                continue
+            try:
+                with open(p) as f:
+                    for r in json.load(f).get("records", []):
+                        for dp in r.get("data_paths") or []:
+                            refs.add(os.path.normpath(dp))
+            except (OSError, ValueError):  # raced reclaim / partial
+                continue
+        return refs
+
     def expire_runs(
         self,
         keep_last: int = 100,
@@ -564,10 +585,15 @@ class RunState:
 
         Runs under the commit lock so a same-host committer can't
         publish between the read and the rewrite. Cross-HOST committers
-        (invisible to the flock) are fenced two ways: their claimed /
+        (invisible to the flock) are fenced three ways: their claimed /
         published run files above this scan's root snapshot shield
-        their data dirs from the orphan sweep, and the final version
-        bump is conditional (O_EXCL claim), skipped on conflict.
+        their data dirs from the orphan sweep, a final
+        pending-then-claims re-read immediately before deletion closes
+        the windows the long scan opens (a dir in the candidate set is
+        protected by its marker until its claim is visible — the
+        marker→claim handoff always leaves one of the two reads
+        covering it), and the version bump is conditional (O_EXCL
+        claim), skipped on conflict.
         Returns {expired_records, deleted_dirs, orphans_deleted}."""
         import shutil
 
@@ -652,21 +678,7 @@ class RunState:
             # reads. Dead claims' dirs get one cycle of shelter; the
             # claim itself is swept below, so the NEXT retention pass
             # collects them as ordinary orphans.
-            above_root_refs = set()
-            for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
-                try:
-                    fv = int(os.path.splitext(os.path.basename(p))[0])
-                except ValueError:  # pragma: no cover
-                    continue
-                if fv <= root["version"]:
-                    continue
-                try:
-                    with open(p) as f:
-                        for r in json.load(f).get("records", []):
-                            for dp in r.get("data_paths") or []:
-                                above_root_refs.add(norm(dp))
-                except (OSError, ValueError):  # raced reclaim / partial
-                    continue
+            above_root_refs = self._above_root_data_paths(root["version"])
             orphans = set()
             deletable_markers = set()
             if delete_orphans_under:
@@ -696,6 +708,25 @@ class RunState:
                     if nd in expired_pending:
                         deletable_markers.add(nd)
             if not dry_run:
+                # FINAL recheck before anything is destroyed: re-read
+                # pending markers, then above-root claims (same order —
+                # the ordering argument repeats). This closes the
+                # pre-claim window too: a candidate dir existed at glob
+                # time, so its writer registered BEFORE the glob; if the
+                # marker is gone by this re-read the writer must have
+                # cleared it post-commit, and its claim file is
+                # therefore visible to the second read. A marker
+                # TTL-expired at the first read stays expired here
+                # (crashed-writer path, quiet-mtime rule already
+                # applied), so residue collection is unaffected.
+                if orphans:
+                    fresh_pending = self._pending_paths()
+                    fresh_protect = {
+                        p for p, ts in fresh_pending.items()
+                        if time.time() - ts < pending_ttl_s
+                    } | self._above_root_data_paths(root["version"])
+                    orphans -= fresh_protect
+                    deletable_markers &= orphans
                 # marker housekeeping: committed paths are protected by
                 # history; an expired marker is dropped only once its
                 # directory is reclaimed (or never existed AND the TTL

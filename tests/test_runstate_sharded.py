@@ -99,6 +99,40 @@ def test_orphan_gc_shields_cross_host_commits_above_root(tmp_path):
     assert committed.exists()
 
 
+def test_orphan_gc_final_recheck_catches_late_registration(tmp_path):
+    """A writer that registers its pending marker AFTER the retention
+    pass's first marker read (and whose dir then appears before the
+    orphan glob) must still survive: the final pre-deletion re-read of
+    pending markers protects it. Simulated deterministically by
+    sequencing _pending_paths: empty at scan start, the marker present
+    at the recheck."""
+    state = RunState(str(tmp_path / "state"))
+    out = tmp_path / "out"
+    late = out / "part-late"
+    late.mkdir(parents=True)
+    old = time.time() - 3600
+    os.utime(late, (old, old))  # even a stale mtime must not matter
+    state.commit("k", "r0", pointer="1")
+
+    real = state._pending_paths
+    calls = {"n": 0}
+
+    def sequenced():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {}  # marker not yet visible at scan start
+        return {str(late): time.time()}  # registered by recheck time
+
+    state._pending_paths = sequenced
+    try:
+        res = state.expire_runs(delete_orphans_under=str(out))
+    finally:
+        state._pending_paths = real
+    assert calls["n"] >= 2, "final recheck did not re-read markers"
+    assert late.exists(), "late-registered in-flight dir was GC'd"
+    assert str(late) not in res["orphans_deleted"]
+
+
 def test_pending_paths_protect_inflight_writes(tmp_path):
     """A data dir registered as pending must survive orphan GC even
     though no manifest references it yet; after its commit the marker
