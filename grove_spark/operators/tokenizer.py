@@ -124,6 +124,33 @@ class BPETokenizer:
         vb = self.vocab_bytes
         return b"".join(vb[i] for i in ids).decode("utf-8")
 
+    # -- persistence: the trained vocab is a managed artifact (the
+    #    _ann_meta.json pattern, operators/ann_index.py) — a tokenizer
+    #    trained once at ingest must be byte-identically reloadable by
+    #    every later job or token ids stop meaning anything ------------
+    def save(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"format": "grove-bpe-v1",
+                 "merges": [list(p) for p in self.merges]},
+                f,
+            )
+        _os.replace(tmp, path)  # atomic: readers never see a torn file
+
+    @classmethod
+    def load(cls, path: str) -> "BPETokenizer":
+        import json as _json
+
+        with open(path) as f:
+            d = _json.load(f)
+        if d.get("format") != "grove-bpe-v1":
+            raise ValueError(f"not a grove BPE vocab file: {path}")
+        return cls(merges=tuple((int(a), int(b)) for a, b in d["merges"]))
+
 
 def train_bpe(
     df: DataFrame,

@@ -202,3 +202,58 @@ def test_text_to_routed_pipeline_composes(spark):
     assert len(rows) == 140  # 60+60+20 fan-out
     for r in rows:
         assert r["rt"] == orig[r["doc_id"]]
+
+
+def test_save_load_roundtrip(tmp_path, tok):
+    """Persisted vocab reloads byte-identically (the trained tokenizer
+    is a managed artifact: ids from a reloaded instance must match the
+    trainer's exactly or stored token columns become garbage)."""
+    p = str(tmp_path / "bpe.json")
+    tok.save(p)
+    tok2 = BPETokenizer.load(p)
+    assert tok2.merges == tok.merges
+    assert tok2.encode("the quick brown fox") == tok.encode("the quick brown fox")
+    with pytest.raises(ValueError, match="not a grove BPE"):
+        import json
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            json.dump({"format": "other"}, f)
+        BPETokenizer.load(bad)
+
+
+def test_streaming_tokenize(spark, tmp_path, tok):
+    """The streaming front door: a text STREAM tokenizes through the
+    same stateless Arrow kernel (mapInPandas is streamable) and decodes
+    back exactly — text in, the pipeline's token arrays out, micro-batch
+    by micro-batch."""
+    import json
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"doc_id": i, "text": f"stream doc d{i} from the fox"} for i in range(20)]
+    with open(src / "a.json", "w") as f:
+        for r in rows[:10]:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in rows[10:]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    toks = tokenize(stream, tok)
+    assert toks.isStreaming
+    q = (
+        toks.writeStream.format("memory")
+        .queryName("tok_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM tok_stream").collect()
+    assert len(out) == 20
+    for r in out:
+        assert tok.decode(r["tokens"]) == f"stream doc d{r['doc_id']} from the fox"
