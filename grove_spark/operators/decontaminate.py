@@ -111,3 +111,55 @@ def decontaminate(
     # anti-join on the id: the contaminated set is a small fraction of
     # the corpus, and ids are narrow either way
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_scores_stream(
+    docs,
+    benchmark: DataFrame,
+    time_col: str,
+    delay: str = "10 minutes",
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-native contamination scoring: documents arrive as a
+    STREAM, the benchmark is static.
+
+    Shape: explode shingles (stateless, carries the event time) →
+    stream-static broadcast join against the hashed benchmark grams
+    (no state — the static side ships with every task) → watermarked
+    per-document aggregation keyed on (event time, doc id), emitted in
+    APPEND mode once the watermark passes the document's timestamp.
+    State is O(open documents inside the lateness window), not O(corpus).
+
+    Deviations from the batch twin (``contamination_scores``), both
+    inherent to append-mode streaming: documents shorter than ``n``
+    words emit NO row (the batch twin emits n_grams=0 — a streaming
+    left-join-back has nowhere to anchor; absent = clean), and each
+    document must carry exactly one ``time_col`` value. Compose with
+    ``foreachBatch`` + the batch ``decontaminate`` when drop semantics
+    over full micro-batches are wanted instead.
+    """
+    sh = word_shingles(
+        docs.select(id_col, time_col, text_col), text_col, n
+    ).select(
+        id_col, time_col, F.xxhash64("shingle").alias("__g")
+    )
+    bench = F.broadcast(
+        word_shingles(benchmark.select(text_col), text_col, n)
+        .select(F.xxhash64("shingle").alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    n_grams = F.count(F.lit(1)).cast("bigint")
+    n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
+    return (
+        sh.withWatermark(time_col, delay)
+        .join(bench, "__g", "left")
+        .groupBy(time_col, id_col)
+        .agg(
+            n_grams.alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            (n_cont.cast("double") / n_grams).alias("contaminated_frac"),
+        )
+    )

@@ -95,3 +95,63 @@ def test_default_rules_are_re2_safe():
     lookaround) so the DuckDB oracle and other engines can run them."""
     for name, pat, _ in DEFAULT_RULES:
         assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat, name
+
+
+def test_contamination_scores_stream_matches_batch(spark, tmp_path, corpus, bench_set):
+    """The streaming scorer (stream-static broadcast join + watermarked
+    per-doc agg, append mode) must agree with the batch twin on every
+    document long enough to shingle; short docs are absent-by-contract
+    (absent = clean)."""
+    import json
+
+    from grove_spark.operators.decontaminate import contamination_scores_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "docs.json", "w") as f:
+        for r in corpus.collect():
+            f.write(json.dumps({
+                "doc_id": r["doc_id"], "text": r["text"],
+                "event_time": f"2024-01-01T00:00:{r['doc_id']:02d}",
+            }) + "\n")
+    # append mode emits a doc's row only once the watermark passes its
+    # event time: a far-future sentinel in a SECOND file (its own batch)
+    # advances the watermark so every real doc flushes; the sentinel
+    # itself stays in state, absent from the output
+    with open(src / "flush.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 99, "text": " ".join(f"s{i}" for i in range(15)),
+            "event_time": "2024-01-01T06:00:00",
+        }) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string, event_time timestamp")
+        .json(str(src))
+    )
+    scored = contamination_scores_stream(
+        stream, bench_set, time_col="event_time", delay="1 minute"
+    )
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in contamination_scores(corpus, bench_set).collect()
+        if r["n_grams"] > 0  # short docs: absent in streaming by contract
+    }
+    assert got == want
+    # too-short docs (d4: 2 words, d2: 12 words < n=13) are absent
+    assert 4 not in got and 2 not in got
+    assert got[1][1] > 0 and got[3][1] == 0  # planted hit / unrelated doc
+    assert 99 not in got  # the unflushed sentinel
