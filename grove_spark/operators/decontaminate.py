@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 from grove_spark.operators.dedup_fuzzy import word_shingles
 
 
+def _bench_grams(benchmark: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The hashed benchmark gram set — the JOIN CONTRACT shared by the
+    batch and streaming scorers (one definition: a hashing/normalization
+    change cannot silently break batch/stream parity)."""
+    return (
+        word_shingles(benchmark.select(text_col), text_col, n)
+        .select(F.xxhash64("shingle").alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -51,12 +63,7 @@ def contamination_scores(
     sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("__doc"), F.xxhash64("shingle").alias("__g")
     )
-    bench = (
-        word_shingles(benchmark.select(text_col), text_col, n)
-        .select(F.xxhash64("shingle").alias("__g"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    bench = _bench_grams(benchmark, text_col, n)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     per_doc = (
@@ -145,12 +152,11 @@ def contamination_scores_stream(
     ).select(
         id_col, time_col, F.xxhash64("shingle").alias("__g")
     )
-    bench = F.broadcast(
-        word_shingles(benchmark.select(text_col), text_col, n)
-        .select(F.xxhash64("shingle").alias("__g"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    # persist the static side: a stream-static join re-evaluates the
+    # static plan EVERY micro-batch — without the cache a long-running
+    # stream re-shingles and re-distincts the whole benchmark corpus
+    # per trigger instead of paying only the broadcast probe
+    bench = F.broadcast(_bench_grams(benchmark, text_col, n).persist())
     n_grams = F.count(F.lit(1)).cast("bigint")
     n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
     return (

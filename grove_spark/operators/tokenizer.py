@@ -42,6 +42,7 @@ operators/packing.py.
 
 from __future__ import annotations
 
+import contextlib
 import re
 from dataclasses import dataclass
 from functools import cached_property
@@ -131,15 +132,27 @@ class BPETokenizer:
     def save(self, path: str) -> None:
         import json as _json
         import os as _os
+        import tempfile as _tempfile
 
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(
-                {"format": "grove-bpe-v1",
-                 "merges": [list(p) for p in self.merges]},
-                f,
-            )
-        _os.replace(tmp, path)  # atomic: readers never see a torn file
+        # unique tmp per writer (mkstemp) + atomic replace: concurrent
+        # saves cannot truncate each other's in-flight bytes, readers
+        # never see a torn file (same scheme as runstate._atomic_write)
+        fd, tmp = _tempfile.mkstemp(
+            dir=_os.path.dirname(_os.path.abspath(path)) or ".",
+            prefix=_os.path.basename(path) + ".",
+        )
+        try:
+            with _os.fdopen(fd, "w") as f:
+                _json.dump(
+                    {"format": "grove-bpe-v1",
+                     "merges": [list(p) for p in self.merges]},
+                    f,
+                )
+            _os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                _os.remove(tmp)
+            raise
 
     @classmethod
     def load(cls, path: str) -> "BPETokenizer":
@@ -149,7 +162,17 @@ class BPETokenizer:
             d = _json.load(f)
         if d.get("format") != "grove-bpe-v1":
             raise ValueError(f"not a grove BPE vocab file: {path}")
-        return cls(merges=tuple((int(a), int(b)) for a, b in d["merges"]))
+        merges = tuple((int(a), int(b)) for a, b in d["merges"])
+        # validate ids at load time: merge i may only reference bytes or
+        # earlier merges (< 256+i) — a corrupt-but-well-formed file must
+        # fail HERE with the file named, not as an IndexError deep in a
+        # later decode
+        for i, (a, b) in enumerate(merges):
+            if not (0 <= a < _BASE + i and 0 <= b < _BASE + i):
+                raise ValueError(
+                    f"invalid merge pair ({a},{b}) at rank {i} in {path}"
+                )
+        return cls(merges=merges)
 
 
 def train_bpe(

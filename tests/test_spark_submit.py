@@ -63,8 +63,9 @@ def test_spark_submit_py_files_fleet_tick(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     # the job prints ONE json line with the tick's result
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    res = json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON result line in job stdout:\n{proc.stdout[-2000:]}"
+    res = json.loads(lines[-1])
     assert res["due"] >= 1 and res["run_id"]
     assert res["committed_paths"], "fleet tick committed no data paths"
     for p in res["committed_paths"]:
@@ -89,3 +90,11 @@ def test_spark_submit_py_files_fleet_tick(tmp_path):
         timeout=280,
     )
     assert proc2.returncode == 0, proc2.stderr[-3000:]
+    lines2 = [l for l in proc2.stdout.splitlines() if l.startswith("{")]
+    assert lines2, f"no JSON result line in rerun stdout:\n{proc2.stdout[-2000:]}"
+    res2 = json.loads(lines2[-1])
+    # actually assert idempotence: the rerun (nothing newly due inside
+    # the frequency window) must not extend the committed-path set
+    assert set(res2["committed_paths"]) == set(res["committed_paths"]), (
+        "manifest gained paths on an idempotent rerun"
+    )

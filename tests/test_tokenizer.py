@@ -213,12 +213,18 @@ def test_save_load_roundtrip(tmp_path, tok):
     tok2 = BPETokenizer.load(p)
     assert tok2.merges == tok.merges
     assert tok2.encode("the quick brown fox") == tok.encode("the quick brown fox")
+    import json
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"format": "other"}, f)
     with pytest.raises(ValueError, match="not a grove BPE"):
-        import json
-        bad = str(tmp_path / "bad.json")
-        with open(bad, "w") as f:
-            json.dump({"format": "other"}, f)
         BPETokenizer.load(bad)
+    # well-formed but corrupt: merge 0 references a not-yet-defined id
+    corrupt = str(tmp_path / "corrupt.json")
+    with open(corrupt, "w") as f:
+        json.dump({"format": "grove-bpe-v1", "merges": [[300, 5]]}, f)
+    with pytest.raises(ValueError, match="invalid merge pair"):
+        BPETokenizer.load(corrupt)
 
 
 def test_streaming_tokenize(spark, tmp_path, tok):
