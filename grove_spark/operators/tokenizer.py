@@ -326,3 +326,112 @@ def tokenize_documents(
         F.size("tokens").cast("int").alias("n_tok"),
         source_col,
     )
+
+
+def run_tokenize_ingest(
+    spark,
+    documents_path: str,
+    state,
+    out_path: str,
+    vocab_path: str,
+    tokenizer: BPETokenizer | None = None,
+    num_merges: int = 256,
+    pointer_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    connector_key: str = "tokenize_ingest",
+    identity: str = "default",
+):
+    """The front door as a RESUMABLE INGEST: raw-documents table →
+    trained BPE → the pipeline's native sequence shape, committed
+    through the same manifest machinery as ``run_incremental``
+    (plans/pipeline.py) — watermark pointer, file-level pruning, pending
+    registration, writer-side footer stats INTO the commit.
+
+    Exactly-once here is simpler than the routing pipeline's boundary
+    protocol: the pointer column is a UNIQUE monotone ingest id, so a
+    STRICT ``>`` predicate needs no seen-hash anti-join.
+
+    Vocabulary policy: train once, reuse forever. The first run trains
+    on its batch and saves ``vocab_path`` (atomic); every later run
+    loads it — token ids stay stable across the table's lifetime, which
+    is the whole point of persisting the artifact. Pass ``tokenizer``
+    to override. Returns {run_id, rows, pointer, tokenizer}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grove_spark.sources.file_stats import (
+        FileStatsCache,
+        _list_parquet,
+        parquet_file_stats,
+        prune_files,
+    )
+    from grove_spark.state.runstate import reference
+
+    key = reference(connector_key, identity)
+    base_version = state.version()
+    watermark = state.pointer(key)
+    run_id = state.new_run_id()
+
+    prune_metrics = None
+    if watermark is not None:
+        cache = FileStatsCache(os.path.join(state.root, "filestats"))
+        kept, total = prune_files(
+            documents_path, pointer_col, watermark, inclusive=False,
+            cache=cache,
+        )
+        prune_metrics = {"files_kept": len(kept), "files_total": total}
+        if kept:
+            docs = spark.read.option("basePath", documents_path).parquet(*kept)
+        else:
+            docs = spark.read.parquet(documents_path).where(F.lit(False))
+        wm = F.lit(watermark).cast(docs.schema[pointer_col].dataType)
+        docs = docs.where(F.col(pointer_col) > wm)
+    else:
+        docs = spark.read.parquet(documents_path)
+
+    if tokenizer is None:
+        if os.path.exists(vocab_path):
+            tokenizer = BPETokenizer.load(vocab_path)
+        else:
+            tokenizer = train_bpe(docs, text_col=text_col,
+                                  num_merges=num_merges)
+            tokenizer.save(vocab_path)
+
+    seq = tokenize_documents(
+        docs, tokenizer, text_col=text_col, id_col=id_col,
+        source_col=source_col,
+    )
+    if pointer_col not in seq.columns:
+        seq = seq.join(docs.select(id_col, pointer_col), id_col)
+    seq.persist()
+    try:
+        agg = seq.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max(pointer_col).cast("string").alias("ptr"),
+        ).first()
+        rows, new_ptr = int(agg["rows"]), agg["ptr"]
+        data_paths, out_stats = [], None
+        if rows:
+            run_dir = f"{out_path}/part-{run_id}"
+            state.register_pending(run_dir)
+            seq.write.parquet(run_dir)
+            data_paths.append(run_dir)
+            out_stats = parquet_file_stats(_list_parquet(run_dir), pointer_col)
+        metrics = {"rows": rows}
+        if prune_metrics is not None:
+            metrics["scan"] = prune_metrics
+        state.commit(
+            key, run_id,
+            pointer=new_ptr if rows else watermark,
+            metrics=metrics, data_paths=data_paths,
+            expected_version=base_version, file_stats=out_stats,
+        )
+    finally:
+        seq.unpersist()
+    return {"run_id": run_id, "rows": rows,
+            "pointer": new_ptr if rows else watermark,
+            "tokenizer": tokenizer}

@@ -263,3 +263,54 @@ def test_streaming_tokenize(spark, tmp_path, tok):
     assert len(out) == 20
     for r in out:
         assert tok.decode(r["tokens"]) == f"stream doc d{r['doc_id']} from the fox"
+
+
+def test_run_tokenize_ingest_resumes_exactly_once(spark, tmp_path):
+    """The front door as a resumable ingest: run 1 tokenizes the initial
+    documents and trains+saves the vocab; new files land; run 2 loads
+    the SAME vocab, file-prunes to the new data, and appends only the
+    new docs — no loss, no dupes, stable token ids, footer stats in the
+    manifest."""
+    import os
+
+    from grove_spark.operators.tokenizer import run_tokenize_ingest
+    from grove_spark.state.runstate import RunState
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "seq")
+    vocab = str(tmp_path / "bpe.json")
+    state = RunState(str(tmp_path / "state"))
+
+    def docs_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"src{i % 2}", f"doc number d{i} says the fox ran")
+             for i in range(lo, hi)],
+            "doc_id long, source string, text string",
+        )
+
+    docs_df(0, 50).coalesce(2).write.parquet(src)
+    r1 = run_tokenize_ingest(spark, src, state, out, vocab)
+    assert r1["rows"] == 50 and r1["pointer"] == "49"
+    assert os.path.exists(vocab)
+
+    # append-only growth: two new files
+    docs_df(50, 80).coalesce(2).write.mode("append").parquet(src)
+    r2 = run_tokenize_ingest(spark, src, state, out, vocab)
+    assert r2["rows"] == 30 and r2["pointer"] == "79"
+    assert r2["tokenizer"].merges == r1["tokenizer"].merges  # vocab reuse
+    # pruning engaged: run 2 listed a strict subset of source files
+    m = [h for h in state._run_records() if h["run_id"] == r2["run_id"]][0]
+    assert m["metrics"]["scan"]["files_kept"] < m["metrics"]["scan"]["files_total"]
+    assert m.get("file_stats"), "writer footer stats missing from commit"
+
+    # committed outputs: every doc exactly once, ids decode stably
+    seq = spark.read.option("basePath", out).parquet(*state.committed_paths())
+    assert seq.count() == 80
+    assert seq.select("doc_id").distinct().count() == 80
+    row = seq.where("doc_id = 7").first()
+    assert r2["tokenizer"].decode(row["tokens"]) == "doc number d7 says the fox ran"
+
+    # idempotent: nothing new -> empty run, pointer unchanged
+    r3 = run_tokenize_ingest(spark, src, state, out, vocab)
+    assert r3["rows"] == 0 and r3["pointer"] == "79"
+    assert spark.read.option("basePath", out).parquet(*state.committed_paths()).count() == 80
