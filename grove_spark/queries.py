@@ -2942,3 +2942,73 @@ FROM documents
 
 QUERIES.update({"bpe_tokenize": q_bpe_tokenize})
 ORACLE.update({"bpe_tokenize": SQL_BPE_TOKENIZE})
+
+
+def q_tokenize_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize INGEST lifecycle under the correctness gate (the
+    storage_lifecycle pattern): documents land in two append-only
+    batches; each `run_tokenize_ingest` tick trains-or-loads the vocab,
+    file-prunes to the unseen batch, tokenizes, and commits data +
+    pointer + footer stats atomically. The committed read-back must
+    hold every document exactly once with token arrays that DECODE back
+    to the source text byte-exactly (the pipeline's token-array
+    equality invariant, applied to the front door), with plan facts as
+    checked flags: run 2 listed a strict subset of source files, and
+    writer stats rode in the commit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.tokenizer import (
+        detokenize_col,
+        run_tokenize_ingest,
+    )
+    from grove_spark.state.runstate import RunState
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"grove_tokingest_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    state = RunState(os.path.join(base, "state"))
+    src = os.path.join(base, "docs")
+    out = os.path.join(base, "seq")
+    vocab = os.path.join(base, "bpe.json")
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.where(F.col("doc_id") <= mid).coalesce(2).write.parquet(src)
+    run_tokenize_ingest(spark, src, state, out, vocab)
+    docs.where(F.col("doc_id") > mid).coalesce(2).write.mode("append").parquet(src)
+    r2 = run_tokenize_ingest(spark, src, state, out, vocab)
+
+    rec2 = [h for h in state._run_records() if h["run_id"] == r2["run_id"]][0]
+    scan = rec2["metrics"]["scan"]
+    pruned_ok = int(scan["files_kept"] < scan["files_total"])
+    stats_ok = int(bool(rec2.get("file_stats")))
+
+    seq = spark.read.option("basePath", out).parquet(*state.committed_paths())
+    joined = seq.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_distinct"),
+        F.sum(
+            (detokenize_col(F.col("tokens"), r2["tokenizer"])
+             != F.coalesce(F.col("text"), F.lit(""))).cast("int")
+        ).cast("bigint").alias("roundtrip_bad"),
+        F.lit(pruned_ok).cast("int").alias("pruned_ok"),
+        F.lit(stats_ok).cast("int").alias("stats_ok"),
+    )
+
+
+SQL_TOKENIZE_INGEST = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(0 AS BIGINT) AS roundtrip_bad,
+       CAST(1 AS INT) AS pruned_ok,
+       CAST(1 AS INT) AS stats_ok
+FROM documents
+"""
+
+
+QUERIES.update({"tokenize_ingest": q_tokenize_ingest})
+ORACLE.update({"tokenize_ingest": SQL_TOKENIZE_INGEST})
