@@ -414,6 +414,118 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+def _encode_block(bw, block: np.ndarray, qt, dc_codes, ac_codes,
+                  prev_dc: int) -> int:
+    """Huffman-encode one level-shifted 8x8 float block; returns the new
+    DC predictor (shared by the gray and interleaved-color encoders)."""
+    coef = _DCT_M @ block @ _DCT_M.T
+    zz = np.round(coef.reshape(64)[_ZIGZAG] / qt).astype(np.int64)
+
+    def put(v: int, codes, run: int = 0):
+        size = int(abs(v)).bit_length()
+        sym = (run << 4) | size if codes is ac_codes else size
+        c, ln = codes[sym]
+        bw.write(c, ln)
+        if size:
+            bits = v if v >= 0 else v + (1 << size) - 1
+            bw.write(bits, size)
+
+    put(int(zz[0] - prev_dc), dc_codes)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        put(v, ac_codes, run)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+# JFIF RGB<->YCbCr (BT.601 full-range) — the color space every baseline
+# JPEG carries; forward and inverse each round once, so a constant-tile
+# roundtrip is exact in the YCbCr domain and within the two roundings
+# (<=2 LSB) back in RGB.
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255
+                   ).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255
+                   ).astype(np.uint8)
+
+
+def encode_jpeg_color(img: np.ndarray, q: int = 8) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real BASELINE color
+    JPEG: JFIF YCbCr, 4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs,
+    one shared DC/AC Huffman pair, flat quantizer ``q`` for all three
+    components. Same exactness trick as the gray encoder: q=8 constant
+    tiles round-trip EXACTLY in the YCbCr domain (DC divides without
+    loss, AC all zero), giving the lossy color path an arithmetic
+    oracle; RGB reconstruction then differs only by the two color-
+    transform roundings (<=2 LSB)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nc = img.shape
+    if nc != 3:
+        raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
+    ycc = _rgb_to_ycbcr(img)
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    qt = np.full(64, q, dtype=np.int32)
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                block = (padded[by:by + 8, bx:bx + 8, c].astype(np.float64)
+                         - 128.0)
+                prev[c] = _encode_block(bw, block, qt, dc_codes, ac_codes,
+                                        prev[c])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
+                   + bytes(v & 0xFF for v in vals))
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    out += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
+    out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bw.done()
+    out += b"\xff\xd9"
+    return out
+
+
 def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
     """Encode a (h, w) uint8 array as a real BASELINE JPEG (SOI/APP0/
     DQT/SOF0/DHT/SOS/EOI, single grayscale component, no subsampling).
@@ -436,37 +548,7 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
-            coef = _DCT_M @ block @ _DCT_M.T
-            zz = np.round(coef.reshape(64)[_ZIGZAG] / qt).astype(np.int64)
-
-            def put(v: int, codes, run: int = 0):
-                size = int(abs(v)).bit_length()
-                sym = (run << 4) | size if codes is ac_codes else size
-                c, ln = codes[sym]
-                bw.write(c, ln)
-                if size:
-                    bits = v if v >= 0 else v + (1 << size) - 1
-                    bw.write(bits, size)
-
-            put(int(zz[0] - prev_dc), dc_codes)
-            prev_dc = int(zz[0])
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                put(v, ac_codes, run)
-                run = 0
-            if last < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.write(c, ln)
+            prev_dc = _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -486,21 +568,25 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
     return out
 
 
-def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a BASELINE sequential JPEG (single grayscale component,
-    8-bit, no subsampling, no restart markers) with pure numpy: marker
+def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (8-bit grayscale, or 3-component
+    YCbCr 4:4:4 interleaved, no restart markers) with pure numpy: marker
     walk, DQT/DHT/SOF0/SOS parse, canonical Huffman entropy decode with
     byte-unstuffing, dequantize via the stream's own tables, float IDCT,
-    level shift, clamp, crop. Progressive / multi-component / DRI
-    streams raise loudly (documented scope: the training-pipeline gate
-    path; production swaps in libjpeg via the same kernel signature)."""
+    level shift, clamp, crop. Gray returns (h, w); color returns
+    (h, w, 3) RGB — pass ``color_space='ycbcr'`` for the raw planes
+    (the domain where q=8 constant tiles round-trip EXACTLY, see
+    encode_jpeg_color). Progressive / subsampled / DRI streams raise
+    loudly (documented scope: the training-pipeline gate path;
+    production swaps in libjpeg via the same kernel signature)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict = {}
     huff: dict = {}
     h = w = None
-    qsel = 0
+    comps: list = []  # (component id, quant-table id) in SOF order
+    scan_sel: dict = {}  # component id -> (dc table, ac table)
     scan_start = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -530,15 +616,18 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported SOF0 precision={prec} components={ncomp} "
-                    "(8-bit single-component baseline only)"
+                    "(8-bit, 1 or 3 components baseline only)"
                 )
-            # per-component spec: [id, HV, Tq] at body[6..8]
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            qsel = body[8]
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
@@ -547,17 +636,25 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps):
+                raise ValueError("scan component count != frame components")
+            for c in range(ns):
+                cid, sel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0xF)
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if scan_start is None or h is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    dc_map = {(c, l): s for s, (c, l) in huff[(0, dc_sel)].items()}
-    ac_map = {(c, l): s for s, (c, l) in huff[(1, ac_sel)].items()}
-    qt = qtables[qsel]
+    # per-component decode tables in SOF (= interleave) order
+    ctabs = []
+    for cid, tq in comps:
+        dsel, asel = scan_sel[cid]
+        ctabs.append((
+            {(c, l): s for s, (c, l) in huff[(0, dsel)].items()},
+            {(c, l): s for s, (c, l) in huff[(1, asel)].items()},
+            qtables[tq],
+        ))
 
     # unstuff the entropy stream up to the next marker
     data = bytearray()
@@ -605,35 +702,47 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         return v
 
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    out = np.empty((ph, pw), dtype=np.uint8)
-    prev_dc = 0
+    ncomp = len(comps)
+    planes = [np.empty((ph, pw), dtype=np.uint8) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+
+    def read_block(ci: int) -> np.ndarray:
+        dc_map, ac_map, qt = ctabs[ci]
+        zz = np.zeros(64, dtype=np.int64)
+        size = read_sym(dc_map)
+        prev_dc[ci] += receive(size)
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = read_sym(ac_map)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, sz = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = receive(sz)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = zz * qt
+        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+        return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            size = read_sym(dc_map)
-            prev_dc += receive(size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_sym(ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, sz = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = receive(sz)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz * qt
-            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-            out[by:by + 8, bx:bx + 8] = np.clip(
-                np.round(block) + 128, 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+            for ci in range(ncomp):  # interleaved MCU in SOF order
+                planes[ci][by:by + 8, bx:bx + 8] = read_block(ci)
+    if ncomp == 1:
+        return planes[0][:h, :w]
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    if color_space == "ycbcr":
+        return ycc
+    if color_space != "rgb":
+        raise ValueError(f"unknown color_space {color_space!r}")
+    return _ycbcr_to_rgb(ycc)
 
 
 def decode_png(blob: bytes) -> np.ndarray:

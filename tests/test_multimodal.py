@@ -319,11 +319,11 @@ def test_jpeg_rejects_unsupported_streams_loudly():
     blob[i + 1] = 0xC2
     with _pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(blob))
-    # 3-component SOF0 rejected
+    # 2-component SOF0 rejected (1 = gray and 3 = YCbCr are supported)
     blob2 = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
     j = blob2.find(b"\xff\xc0")
-    blob2[j + 9] = 3  # component count byte in SOF0 payload
-    with _pytest.raises(ValueError, match="components=3"):
+    blob2[j + 9] = 2  # component count byte in SOF0 payload
+    with _pytest.raises(ValueError, match="components=2"):
         decode_jpeg(bytes(blob2))
     # DRI with a nonzero interval rejected
     dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 8)
@@ -357,3 +357,59 @@ def test_jpeg_decoder_plugs_into_featurize_kernel(spark):
     for r in out:
         assert len(r["features"]) == 4
         assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_jpeg_color_constant_tiles_exact_in_ycbcr():
+    """Color baseline 4:4:4: q=8 constant 8x8 RGB tiles round-trip
+    EXACTLY in the YCbCr domain (the DC path divides without loss per
+    component); the RGB view differs only by the two color-transform
+    roundings."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(7)
+    tiles = np.repeat(
+        np.repeat(rng.randint(0, 256, (3, 4, 3), dtype=np.uint8), 8, 0), 8, 1
+    )
+    blob = encode_jpeg_color(tiles, q=8)
+    assert np.array_equal(
+        decode_jpeg(blob, color_space="ycbcr"), _rgb_to_ycbcr(tiles)
+    )
+    rgb = decode_jpeg(blob)
+    assert rgb.shape == tiles.shape
+    assert np.max(np.abs(rgb.astype(int) - tiles.astype(int))) <= 2
+
+
+def test_jpeg_color_general_images_near_exact_at_unit_quant():
+    """Random RGB at q=1: error bounded by DCT rounding + the forward/
+    inverse color-transform roundings (<= 4 LSB), incl. non-multiple-of-8
+    shapes (edge padding + crop per component)."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(11)
+    for shape in [(16, 16, 3), (17, 26, 3), (8, 9, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_color(img, q=1))
+        assert out.shape == img.shape
+        assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 4
+
+
+def test_jpeg_color_rejects_subsampling():
+    """A 4:2:0 frame header (HV != 0x11) must raise, not mis-decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_color
+
+    blob = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8)))
+    j = blob.find(b"\xff\xc0")
+    blob[j + 11] = 0x22  # Y component HV -> 2x2 (4:2:0)
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(blob))
