@@ -4,11 +4,17 @@ A training-data pipeline at 100 TB carries media as ``binary`` columns
 with a metadata struct; decode/resize/frame-sample run as Arrow-batched
 kernels over ``mapInPandas`` so the bytes never round-trip per row.
 
-The decode kernels themselves are STUBBED here (no PIL/ffmpeg in this
-container): ``decode_image`` raises NotImplementedError unless given the
-deterministic fake decoder, which parses the fixture's synthetic header.
-The Spark-side plumbing — schema, batch iteration, partition sizing,
-zero-copy Arrow transfer — is real and tested.
+No PIL/ffmpeg in this container, so the codecs are implemented from
+the specs in pure numpy + stdlib: BMP (8-bit palette), WAV (PCM16),
+PNG (all five filters, CRC-checked), and baseline JPEG — grayscale AND
+3-component YCbCr 4:4:4 color (stream-carried Huffman/quant tables,
+byte un/stuffing, float DCT; the flat-q=8 constant-tile trick gives
+the lossy format an arithmetic oracle). The one remaining honest stub:
+``decode_image`` with ``decoder=None`` raises NotImplementedError —
+formats beyond these (subsampled/progressive JPEG, video) plug in
+through the same kernel signature (production: libjpeg/ffmpeg). The
+Spark-side plumbing — schema, batch iteration, partition sizing,
+zero-copy Arrow transfer — is real and tested either way.
 """
 
 from __future__ import annotations
