@@ -481,6 +481,18 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
                    ).astype(np.uint8)
 
 
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    """One marker segment: FF <marker> <len+2> <payload> (shared by the
+    gray and color encoders — the framing must never drift between
+    them)."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
+    return _jpeg_seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
+                     + bytes(v & 0xFF for v in vals))
+
+
 def encode_jpeg_color(img: np.ndarray, q: int = 8) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a real BASELINE color
     JPEG: JFIF YCbCr, 4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs,
@@ -513,20 +525,13 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8) -> bytes:
                 prev[c] = _encode_block(bw, block, qt, dc_codes, ac_codes,
                                         prev[c])
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    def dht(cls: int, tid: int, bits, vals) -> bytes:
-        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
-                   + bytes(v & 0xFF for v in vals))
-
     out = b"\xff\xd8"
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
-               + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
-    out += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
-    out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
+    out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                     + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    out += _jpeg_dht(0, 0, dc_bits, dc_vals) + _jpeg_dht(1, 0, ac_bits, ac_vals)
+    out += _jpeg_seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
     out += bw.done()
     out += b"\xff\xd9"
     return out
@@ -556,19 +561,12 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
             block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
             prev_dc = _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    def dht(cls: int, tid: int, bits, vals) -> bytes:
-        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
-                   + bytes(v & 0xFF for v in vals))
-
     out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
+    out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _jpeg_dht(0, 0, dc_bits, dc_vals) + _jpeg_dht(1, 0, ac_bits, ac_vals)
+    out += _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bw.done()
     out += b"\xff\xd9"  # EOI
     return out
@@ -582,9 +580,13 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     level shift, clamp, crop. Gray returns (h, w); color returns
     (h, w, 3) RGB — pass ``color_space='ycbcr'`` for the raw planes
     (the domain where q=8 constant tiles round-trip EXACTLY, see
-    encode_jpeg_color). Progressive / subsampled / DRI streams raise
+    encode_jpeg_color). ``color_space`` is validated up front but only
+    affects 3-component frames: a grayscale stream has no color
+    transform and returns its single plane either way. Progressive / subsampled / DRI streams raise
     loudly (documented scope: the training-pipeline gate path;
     production swaps in libjpeg via the same kernel signature)."""
+    if color_space not in ("rgb", "ycbcr"):
+        raise ValueError(f"unknown color_space {color_space!r}")
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -652,10 +654,20 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
         pos += 2 + ln
     if scan_start is None or h is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    # per-component decode tables in SOF (= interleave) order
+    # per-component decode tables in SOF (= interleave) order; every
+    # lookup failure is a LOUD ValueError (the decoder's contract —
+    # callers route unsupported media on ValueError, never KeyError)
     ctabs = []
     for cid, tq in comps:
+        if cid not in scan_sel:
+            raise ValueError(f"SOS missing frame component id {cid}")
         dsel, asel = scan_sel[cid]
+        if (0, dsel) not in huff or (1, asel) not in huff:
+            raise ValueError(
+                f"scan selects undeclared Huffman table (dc={dsel}, ac={asel})"
+            )
+        if tq not in qtables:
+            raise ValueError(f"frame selects undeclared quant table {tq}")
         ctabs.append((
             {(c, l): s for s, (c, l) in huff[(0, dsel)].items()},
             {(c, l): s for s, (c, l) in huff[(1, asel)].items()},

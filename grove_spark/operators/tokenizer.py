@@ -393,10 +393,25 @@ def run_tokenize_ingest(
     else:
         docs = spark.read.parquet(documents_path)
 
+    # persist once: on the training run the SAME source frame feeds
+    # both train_bpe's piece count and the tokenize kernel (the shared-
+    # subtree caching run_incremental applies to result.deduped)
+    docs = docs.persist()
     if tokenizer is None:
         if os.path.exists(vocab_path):
             tokenizer = BPETokenizer.load(vocab_path)
         else:
+            # empty-first-batch guard: training on 0 documents would
+            # atomically persist a 0-merge vocabulary that every later
+            # run loads FOREVER (train-once policy) — skip the tick
+            # entirely and leave training to the first real batch
+            if docs.isEmpty():
+                docs.unpersist()
+                state.commit(key, run_id, pointer=watermark,
+                             metrics={"rows": 0},
+                             expected_version=base_version)
+                return {"run_id": run_id, "rows": 0,
+                        "pointer": watermark, "tokenizer": None}
             tokenizer = train_bpe(docs, text_col=text_col,
                                   num_merges=num_merges)
             tokenizer.save(vocab_path)
@@ -432,6 +447,7 @@ def run_tokenize_ingest(
         )
     finally:
         seq.unpersist()
+        docs.unpersist()
     return {"run_id": run_id, "rows": rows,
             "pointer": new_ptr if rows else watermark,
             "tokenizer": tokenizer}

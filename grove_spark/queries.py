@@ -2981,14 +2981,14 @@ def q_tokenize_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.where(F.col("doc_id") > mid).coalesce(2).write.mode("append").parquet(src)
     r2 = run_tokenize_ingest(spark, src, state, out, vocab)
 
-    rec2 = [h for h in state._run_records() if h["run_id"] == r2["run_id"]][0]
+    rec2 = state.run_record(r2["run_id"])
     scan = rec2["metrics"]["scan"]
     pruned_ok = int(scan["files_kept"] < scan["files_total"])
     stats_ok = int(bool(rec2.get("file_stats")))
 
     seq = spark.read.option("basePath", out).parquet(*state.committed_paths())
     joined = seq.join(docs.select("doc_id", "text"), "doc_id")
-    return joined.agg(
+    agg = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("doc_id").cast("bigint").alias("n_distinct"),
         F.sum(
@@ -2998,6 +2998,13 @@ def q_tokenize_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pruned_ok).cast("int").alias("pruned_ok"),
         F.lit(stats_ok).cast("int").alias("stats_ok"),
     )
+    # evaluate EAGERLY and clean the workspace (the storage_lifecycle
+    # pattern): the returned frame must not depend on temp files, and
+    # the gate must not leak a parquet copy of the corpus per run
+    row = agg.first()
+    result = spark.createDataFrame([row], agg.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 SQL_TOKENIZE_INGEST = """

@@ -892,3 +892,12 @@ class RunState:
 
     def is_committed(self, run_id: str) -> bool:
         return any(h["run_id"] == run_id for h in self._run_records())
+
+    def run_record(self, run_id: str) -> Optional[dict]:
+        """The manifested run record for ``run_id`` (pointer, metrics,
+        data_paths, file_stats) — the public surface for reading a
+        run's telemetry; consumers never touch the manifest layout."""
+        for h in self._run_records():
+            if h["run_id"] == run_id:
+                return h
+        return None

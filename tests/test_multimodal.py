@@ -413,3 +413,26 @@ def test_jpeg_color_rejects_subsampling():
     blob[j + 11] = 0x22  # Y component HV -> 2x2 (4:2:0)
     with _pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_color_space_validated_and_mismatch_is_loud():
+    import numpy as np
+    import pytest as _pytest
+
+    from grove_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    gray = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+    with _pytest.raises(ValueError, match="color_space"):
+        decode_jpeg(gray, color_space="bogus")  # validated on EVERY path
+    # gray ignores a valid color_space (no transform to apply)
+    assert decode_jpeg(gray, color_space="ycbcr").shape == (8, 8)
+    # SOS naming a component id absent from SOF: ValueError, not KeyError
+    blob = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8)))
+    j = blob.find(b"\xff\xda")
+    blob[j + 5] = 9  # first scan component id 1 -> 9
+    with _pytest.raises(ValueError, match="missing frame component"):
+        decode_jpeg(bytes(blob))

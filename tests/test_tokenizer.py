@@ -299,7 +299,7 @@ def test_run_tokenize_ingest_resumes_exactly_once(spark, tmp_path):
     assert r2["rows"] == 30 and r2["pointer"] == "79"
     assert r2["tokenizer"].merges == r1["tokenizer"].merges  # vocab reuse
     # pruning engaged: run 2 listed a strict subset of source files
-    m = [h for h in state._run_records() if h["run_id"] == r2["run_id"]][0]
+    m = state.run_record(r2["run_id"])
     assert m["metrics"]["scan"]["files_kept"] < m["metrics"]["scan"]["files_total"]
     assert m.get("file_stats"), "writer footer stats missing from commit"
 
@@ -314,3 +314,32 @@ def test_run_tokenize_ingest_resumes_exactly_once(spark, tmp_path):
     r3 = run_tokenize_ingest(spark, src, state, out, vocab)
     assert r3["rows"] == 0 and r3["pointer"] == "79"
     assert spark.read.option("basePath", out).parquet(*state.committed_paths()).count() == 80
+
+
+def test_tokenize_ingest_empty_first_batch_does_not_poison_vocab(spark, tmp_path):
+    """An empty first batch must NOT train-and-persist a 0-merge
+    vocabulary (the train-once policy would load it forever): the tick
+    commits nothing, and the first real batch trains normally."""
+    import os
+
+    from grove_spark.operators.tokenizer import run_tokenize_ingest
+    from grove_spark.state.runstate import RunState
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "seq")
+    vocab = str(tmp_path / "bpe.json")
+    state = RunState(str(tmp_path / "state"))
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    empty.coalesce(1).write.parquet(src)
+
+    r0 = run_tokenize_ingest(spark, src, state, out, vocab)
+    assert r0["rows"] == 0 and r0["tokenizer"] is None
+    assert not os.path.exists(vocab), "empty batch persisted a vocab"
+
+    spark.createDataFrame(
+        [(i, "s", f"real doc d{i} of the corpus") for i in range(10)],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    r1 = run_tokenize_ingest(spark, src, state, out, vocab)
+    assert r1["rows"] == 10 and len(r1["tokenizer"].merges) > 0
+    assert os.path.exists(vocab)
