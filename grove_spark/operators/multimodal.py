@@ -493,22 +493,25 @@ def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
                      + bytes(v & 0xFF for v in vals))
 
 
-def encode_jpeg_color(img: np.ndarray, q: int = 8) -> bytes:
+def encode_jpeg_color(img: np.ndarray, q: int = 8,
+                      subsampling: str = "444") -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a real BASELINE color
-    JPEG: JFIF YCbCr, 4:4:4 (no subsampling), interleaved Y/Cb/Cr MCUs,
-    one shared DC/AC Huffman pair, flat quantizer ``q`` for all three
-    components. Same exactness trick as the gray encoder: q=8 constant
-    tiles round-trip EXACTLY in the YCbCr domain (DC divides without
-    loss, AC all zero), giving the lossy color path an arithmetic
-    oracle; RGB reconstruction then differs only by the two color-
-    transform roundings (<=2 LSB)."""
+    JPEG: JFIF YCbCr, interleaved MCUs, one shared DC/AC Huffman pair,
+    flat quantizer ``q`` for all three components. ``subsampling`` is
+    '444' (one 8x8 per component per MCU) or '420' (the dominant
+    real-world layout: 16x16 MCU of four Y blocks + one 2x2-box-mean
+    Cb + Cr). Same exactness trick as the gray encoder: q=8 constant
+    tiles (8x8 for 444, 16x16 for 420 — constant chroma box-means to
+    itself) round-trip EXACTLY in the YCbCr domain, giving the lossy
+    color path an arithmetic oracle; RGB reconstruction then differs
+    only by the two color-transform roundings (<=2 LSB)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, nc = img.shape
     if nc != 3:
         raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     ycc = _rgb_to_ycbcr(img)
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     qt = np.full(64, q, dtype=np.int32)
 
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_tables()
@@ -517,19 +520,47 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8) -> bytes:
 
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for c in range(3):  # interleaved MCU: Y, Cb, Cr
-                block = (padded[by:by + 8, bx:bx + 8, c].astype(np.float64)
-                         - 128.0)
-                prev[c] = _encode_block(bw, block, qt, dc_codes, ac_codes,
-                                        prev[c])
+    if subsampling == "444":
+        ph, pw = (h + 7) & ~7, (w + 7) & ~7
+        padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                    block = (padded[by:by + 8, bx:bx + 8, c]
+                             .astype(np.float64) - 128.0)
+                    prev[c] = _encode_block(bw, block, qt, dc_codes,
+                                            ac_codes, prev[c])
+        sof_comps = b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    else:  # 420
+        ph, pw = (h + 15) & ~15, (w + 15) & ~15
+        padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        yp = padded[..., 0].astype(np.float64)
+        # 2x2 box mean, rounded once — a constant region downsamples to
+        # itself, which is what keeps the constant-tile oracle exact
+        chroma = [
+            np.round(padded[..., c].astype(np.float64)
+                     .reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+            for c in (1, 2)
+        ]
+        for by in range(0, ph, 16):
+            for bx in range(0, pw, 16):
+                for vy in (0, 8):  # four Y blocks, raster order
+                    for vx in (0, 8):
+                        block = yp[by + vy:by + vy + 8,
+                                   bx + vx:bx + vx + 8] - 128.0
+                        prev[0] = _encode_block(bw, block, qt, dc_codes,
+                                                ac_codes, prev[0])
+                for c in (1, 2):
+                    cb = chroma[c - 1][by // 2:by // 2 + 8,
+                                       bx // 2:bx // 2 + 8] - 128.0
+                    prev[c] = _encode_block(bw, cb, qt, dc_codes,
+                                            ac_codes, prev[c])
+        sof_comps = b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
 
     out = b"\xff\xd8"
     out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _jpeg_seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
-    out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
-                     + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
     out += _jpeg_dht(0, 0, dc_bits, dc_vals) + _jpeg_dht(1, 0, ac_bits, ac_vals)
     out += _jpeg_seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
     out += bw.done()
@@ -574,7 +605,8 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
 
 def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     """Decode a BASELINE sequential JPEG (8-bit grayscale, or 3-component
-    YCbCr 4:4:4 interleaved, no restart markers) with pure numpy: marker
+    YCbCr interleaved at 4:4:4 or 4:2:0, no restart markers) with pure
+    numpy: marker
     walk, DQT/DHT/SOF0/SOS parse, canonical Huffman entropy decode with
     byte-unstuffing, dequantize via the stream's own tables, float IDCT,
     level shift, clamp, crop. Gray returns (h, w); color returns
@@ -582,9 +614,12 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     (the domain where q=8 constant tiles round-trip EXACTLY, see
     encode_jpeg_color). ``color_space`` is validated up front but only
     affects 3-component frames: a grayscale stream has no color
-    transform and returns its single plane either way. Progressive / subsampled / DRI streams raise
-    loudly (documented scope: the training-pipeline gate path;
-    production swaps in libjpeg via the same kernel signature)."""
+    transform and returns its single plane either way. 4:2:0 chroma
+    upsamples by replication (the spec leaves the filter to the
+    decoder; replication keeps constant regions exact). Progressive /
+    other subsampling layouts / DRI streams raise loudly (documented
+    scope: the training-pipeline gate path; production swaps in
+    libjpeg via the same kernel signature)."""
     if color_space not in ("rgb", "ycbcr"):
         raise ValueError(f"unknown color_space {color_space!r}")
     if blob[:2] != b"\xff\xd8":
@@ -631,11 +666,14 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
                 )
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hv))
+            hvs = [hv for _, _, hv in comps]
+            if not (hvs == [0x11] or hvs == [0x11] * 3
+                    or hvs == [0x22, 0x11, 0x11]):
+                raise ValueError(
+                    "unsupported subsampling layout "
+                    f"{[hex(v) for v in hvs]} (4:4:4 and 4:2:0 only)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
@@ -658,7 +696,7 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     # lookup failure is a LOUD ValueError (the decoder's contract —
     # callers route unsupported media on ValueError, never KeyError)
     ctabs = []
-    for cid, tq in comps:
+    for cid, tq, _hv in comps:
         if cid not in scan_sel:
             raise ValueError(f"SOS missing frame component id {cid}")
         dsel, asel = scan_sel[cid]
@@ -719,9 +757,16 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
             v -= (1 << size) - 1
         return v
 
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
     ncomp = len(comps)
-    planes = [np.empty((ph, pw), dtype=np.uint8) for _ in range(ncomp)]
+    is_420 = ncomp == 3 and comps[0][2] == 0x22
+    if is_420:
+        ph, pw = (h + 15) & ~15, (w + 15) & ~15
+        planes = [np.empty((ph, pw), dtype=np.uint8),
+                  np.empty((ph // 2, pw // 2), dtype=np.uint8),
+                  np.empty((ph // 2, pw // 2), dtype=np.uint8)]
+    else:
+        ph, pw = (h + 7) & ~7, (w + 7) & ~7
+        planes = [np.empty((ph, pw), dtype=np.uint8) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
 
     def read_block(ci: int) -> np.ndarray:
@@ -749,12 +794,31 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
         block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
         return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
 
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):  # interleaved MCU in SOF order
-                planes[ci][by:by + 8, bx:bx + 8] = read_block(ci)
+    if is_420:
+        # 16x16 MCU: four Y blocks in raster order, then Cb, Cr at
+        # half resolution (matches the encoder's interleave exactly)
+        for by in range(0, ph, 16):
+            for bx in range(0, pw, 16):
+                for vy in (0, 8):
+                    for vx in (0, 8):
+                        planes[0][by + vy:by + vy + 8,
+                                  bx + vx:bx + vx + 8] = read_block(0)
+                for ci in (1, 2):
+                    planes[ci][by // 2:by // 2 + 8,
+                               bx // 2:bx // 2 + 8] = read_block(ci)
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(ncomp):  # interleaved MCU in SOF order
+                    planes[ci][by:by + 8, bx:bx + 8] = read_block(ci)
     if ncomp == 1:
         return planes[0][:h, :w]
+    if is_420:
+        # chroma upsample by replication (spec leaves the filter to the
+        # decoder; replication keeps constant regions exact)
+        planes = [planes[0]] + [
+            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1) for p in planes[1:]
+        ]
     ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
     if color_space == "ycbcr":
         return ycc

@@ -401,8 +401,9 @@ def test_jpeg_color_general_images_near_exact_at_unit_quant():
         assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 4
 
 
-def test_jpeg_color_rejects_subsampling():
-    """A 4:2:0 frame header (HV != 0x11) must raise, not mis-decode."""
+def test_jpeg_color_rejects_unsupported_subsampling():
+    """A subsampling layout outside 4:4:4 / 4:2:0 (e.g. 4:2:2's 2x1)
+    must raise, not mis-decode."""
     import numpy as np
     import pytest as _pytest
 
@@ -410,9 +411,55 @@ def test_jpeg_color_rejects_subsampling():
 
     blob = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8)))
     j = blob.find(b"\xff\xc0")
-    blob[j + 11] = 0x22  # Y component HV -> 2x2 (4:2:0)
+    blob[j + 11] = 0x21  # Y component HV -> 2x1 (4:2:2)
     with _pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_420_constant_tiles_exact_in_ycbcr():
+    """4:2:0: q=8 constant 16x16 RGB tiles round-trip EXACTLY in the
+    YCbCr domain (constant chroma box-means to itself; DC path lossless
+    per block), incl. a non-multiple-of-16 crop."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(13)
+    tiles = np.repeat(
+        np.repeat(rng.randint(0, 256, (2, 3, 3), dtype=np.uint8), 16, 0), 16, 1
+    )
+    for img in (tiles, tiles[:18, :37]):  # exact MCUs + padded crop
+        blob = encode_jpeg_color(img, q=8, subsampling="420")
+        assert np.array_equal(
+            decode_jpeg(blob, color_space="ycbcr"), _rgb_to_ycbcr(img)
+        ), img.shape
+        rgb = decode_jpeg(blob)
+        assert rgb.shape == img.shape
+        assert np.max(np.abs(rgb.astype(int) - img.astype(int))) <= 2
+
+
+def test_jpeg_420_luma_near_exact_at_unit_quant():
+    """Random RGB through 4:2:0 at q=1: chroma is genuinely lossy
+    (2x2 box mean), but the FULL-RESOLUTION luma plane must come back
+    within DCT rounding (<=1 LSB)."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (21, 34, 3), dtype=np.uint8)
+    ycc = decode_jpeg(encode_jpeg_color(img, q=1, subsampling="420"),
+                      color_space="ycbcr")
+    want_y = _rgb_to_ycbcr(img)[..., 0]
+    assert np.max(np.abs(ycc[..., 0].astype(int) - want_y.astype(int))) <= 1
 
 
 def test_jpeg_color_space_validated_and_mismatch_is_loud():
