@@ -416,10 +416,15 @@ def main() -> None:
     spark = build_session(CPUS)
     compute_run(spark, e2e_paths, CPUS)  # warm the fresh JVM
     # single-disk write leg is the noisiest number on this box (observed
-    # 27k-67k seq/s for the identical commit): best of 2
-    e2e_wall, e2e_rows = e2e_run(spark, e2e_paths, n_partitions=CPUS)
-    w2, _ = e2e_run(spark, e2e_paths, n_partitions=CPUS)
-    e2e_wall = min(e2e_wall, w2)
+    # 10x cold/warm swings for the identical commit): six trials, first
+    # reported separately as the cold number, min-of-rest as the warm
+    # number — same hardening the 8-core scaling pair got (r4 verdict #2)
+    e2e_walls = []
+    e2e_rows = 0
+    for _ in range(6):
+        w, e2e_rows = e2e_run(spark, e2e_paths, n_partitions=CPUS)
+        e2e_walls.append(w)
+    e2e_cold, e2e_wall = e2e_walls[0], min(e2e_walls[1:])
 
     dedup_stats = dedup_run(spark, dedup_docs)
     tokenizer_stats = tokenizer_run(spark, dedup_docs)
@@ -436,9 +441,15 @@ def main() -> None:
             continue
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        q_times[name] = round(time.perf_counter() - t0, 4)
+        # minhash_lsh tracked VM noise two rounds running (r4 verdict
+        # #1): min-of-3 so the row measures the plan, not a co-tenant
+        trials = 3 if name == "minhash_lsh" else 1
+        walls = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            walls.append(time.perf_counter() - t0)
+        q_times[name] = round(min(walls), 4)
 
     print(
         json.dumps(
@@ -460,6 +471,9 @@ def main() -> None:
                     "rows_routed": e2e_rows,
                     "wall_s": round(e2e_wall, 3),
                     "seqs_per_sec": round(e2e_rows / e2e_wall, 1),
+                    "cold_wall_s": round(e2e_cold, 3),
+                    "cold_seqs_per_sec": round(e2e_rows / e2e_cold, 1),
+                    "trials": [round(w, 3) for w in e2e_walls],
                 },
                 "dedup": dedup_stats,
                 "tokenizer": tokenizer_stats,

@@ -46,6 +46,36 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = 
     return df.withColumn(out, F.explode(F.array_distinct(grams)))
 
 
+def hashed_shingle_sets(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "sh_set",
+) -> DataFrame:
+    """Per-document DISTINCT word-n-gram shingle set, hashed to 64-bit
+    ints, as ONE row per doc: (doc, array<bigint>).
+
+    A document's shingle set lives inside its own row, so this is a pure
+    projection — zero shuffle, zero explode, embarrassingly parallel —
+    vs the exploded ``word_shingles`` -> groupBy collect_set form, which
+    shuffles |docs|·|shingles| rows just to reassemble what the row
+    already had. Jaccard over the hashed sets equals Jaccard over the
+    strings up to xxhash64 collisions (~n_shingles²/2⁶⁴ per doc).
+    Documents with fewer than ``n`` words yield an empty set (kept)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
+    return docs.select(F.col(id_col).alias("doc"), hashed.alias(out))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -335,18 +365,20 @@ def minhash_dedup_pairs(
     sigs.unpersist()
     if not verify:
         return cands
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), "shingle"
-    )
+    # Verify sets are built as a PER-ROW projection of hashed shingles
+    # (r4 verdict #1): no explode, no groupBy/collect_set shuffle, and
+    # the compared arrays are fixed 8-byte longs instead of strings —
+    # Jaccard is identical up to xxhash64 collisions (~n²/2⁶⁴ per doc).
+    # Only candidate docs' sets survive the semi-join (cand_docs is
+    # small relative to the corpus, so AQE broadcasts it); the join of
+    # cands against those sets is O(candidates), never all-pairs.
     cand_docs = (
         cands.select(F.col("a").alias("doc"))
         .union(cands.select(F.col("b").alias("doc")))
         .distinct()
     )
-    sets = (
-        sh.join(cand_docs, "doc", "left_semi")
-        .groupBy("doc")
-        .agg(F.collect_set("shingle").alias("sh_set"))
+    sets = hashed_shingle_sets(docs, n, id_col, text_col).join(
+        cand_docs, "doc", "left_semi"
     )
     j = cands.join(
         sets.select(F.col("doc").alias("a"), F.col("sh_set").alias("sh_a")), "a"

@@ -753,7 +753,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the gate's lifetime."""
     from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    # the sf-dir documents table is a single small parquet file -> one
+    # input split; spread it so the signature map (the heaviest stage)
+    # parallelizes — on a real corpus the many input files do this.
+    # localCheckpoint materializes the spread rows ONCE for the two
+    # consumers (signatures + verify sets) instead of re-scanning and
+    # re-shuffling per subtree; blocks are freed when the frame is GC'd
+    # (a persist here would leak past return — see minhash_dedup_pairs)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     return minhash_dedup_pairs(
         docs, threshold=0.5, num_hashes=32, bands=16, verify=True
     ).select("a", "b")
