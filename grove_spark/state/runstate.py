@@ -97,7 +97,12 @@ class RunState:
     #: how long an unpublished version claim may sit before another
     #: driver treats its owner as crashed and reclaims it (the DynamoDB
     #: lease-recovery analog). A live writer publishes its root within
-    #: milliseconds of claiming, so 300 s is generous.
+    #: milliseconds of claiming, so 300 s is generous. Claim age is
+    #: measured in ONE clock domain — the filesystem server's — via a
+    #: probe-file mtime (``_server_clock_age``), so inter-host wall
+    #: clock skew does not erode the lease; the residual skew budget is
+    #: the server's mtime granularity (~1 s on NFSv3, ns on v4/local),
+    #: negligible against the 300 s TTL.
     stale_claim_ttl_s: float = 300.0
 
     def __init__(self, root: str):
@@ -315,10 +320,35 @@ class RunState:
                 pass
             return False  # same host and alive: genuinely in flight
         try:
-            age = time.time() - os.path.getmtime(path)
+            age = self._server_clock_age(path)
         except OSError:
             return False  # vanished: someone else is handling it
         return age > self.stale_claim_ttl_s
+
+    def _server_clock_age(self, path: str) -> float:
+        """Age of ``path`` measured entirely in the FILESYSTEM's clock
+        domain: touch a probe file next to it and compare the two
+        mtimes. Comparing the claim's mtime (NFS server clock) against
+        local time.time() would let inter-host clock skew silently
+        erode — or extend — the lease: with skew S the effective TTL is
+        ttl±S, and S > ttl reclaims a LIVE peer's claim. The probe
+        costs one create+stat+unlink on the state dir per check; the
+        residual error is only the server's own mtime granularity.
+        Falls back to local-clock age if the probe cannot be written
+        (read-only dir), preserving the old behavior there."""
+        mtime = os.path.getmtime(path)  # raises OSError if vanished
+        probe = os.path.join(
+            self.root, f".clockprobe-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            with open(probe, "w"):
+                pass
+            return os.path.getmtime(probe) - mtime
+        except OSError:  # pragma: no cover - unwritable state dir
+            return time.time() - mtime
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(probe)
 
     def _claim_version(self, v: int, payload: dict) -> None:
         """Conditionally create the run record for version ``v`` —
@@ -550,6 +580,65 @@ class RunState:
                 continue
         return refs
 
+    def _acquire_retention_lease(self) -> bool:
+        """O_CREAT|O_EXCL lease serializing retention passes ACROSS
+        hosts (the flock only covers this host). Returns False when a
+        live peer owns the lease; a dead owner's lease (same-host pid
+        check, else server-clock TTL) is reclaimed via the same atomic
+        rename used for version claims. A pass longer than
+        ``stale_claim_ttl_s`` can in principle be reclaimed mid-pass —
+        the standard lease caveat; the pass is file metadata only and
+        finishes in seconds."""
+        import socket
+
+        path = os.path.join(self.root, "_retention.claim")
+        payload = json.dumps(
+            {"host": socket.gethostname(), "pid": os.getpid(), "ts": time.time()}
+        )
+        flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        for _ in range(2):
+            try:
+                fd = os.open(path, flags, 0o644)
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        owner = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    owner = {}
+                dead = False
+                if owner.get("host") == socket.gethostname() and owner.get("pid"):
+                    try:
+                        os.kill(int(owner["pid"]), 0)
+                    except ProcessLookupError:
+                        dead = True
+                    except PermissionError:  # pragma: no cover
+                        pass
+                else:
+                    try:
+                        dead = self._server_clock_age(path) > self.stale_claim_ttl_s
+                    except OSError:
+                        continue  # vanished: retry the create
+                if not dead:
+                    return False
+                trash = f"{path}.stale-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(path, trash)  # atomic: one reclaimer wins
+                except FileNotFoundError:
+                    continue  # lost the reclaim race: retry the create
+                with contextlib.suppress(OSError):
+                    os.remove(trash)
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        return False
+
+    def _release_retention_lease(self) -> None:
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(self.root, "_retention.claim"))
+
     def expire_runs(
         self,
         keep_last: int = 100,
@@ -594,9 +683,33 @@ class RunState:
         marker→claim handoff always leaves one of the two reads
         covering it), and the version bump is conditional (O_EXCL
         claim), skipped on conflict.
-        Returns {expired_records, deleted_dirs, orphans_deleted}."""
+        Returns {expired_records, deleted_dirs, orphans_deleted}; a
+        mutating pass that finds another host's LIVE retention lease
+        returns immediately with ``skipped`` set (two concurrent passes
+        would rewrite the same historical run files last-write-wins —
+        trims could un-apply for a cycle)."""
         import shutil
 
+        if not dry_run and not self._acquire_retention_lease():
+            return {
+                "expired_records": 0,
+                "deleted_dirs": [],
+                "orphans_deleted": [],
+                "skipped": "another retention pass holds the lease",
+            }
+        try:
+            return self._expire_runs_locked(
+                keep_last, delete_orphans_under, dry_run,
+                orphan_grace_s, pending_ttl_s, shutil,
+            )
+        finally:
+            if not dry_run:
+                self._release_retention_lease()
+
+    def _expire_runs_locked(
+        self, keep_last, delete_orphans_under, dry_run,
+        orphan_grace_s, pending_ttl_s, shutil,
+    ) -> dict:
         with self._exclusive():
             root = self._load_root()
             per_file: List[tuple] = []  # (version, record)
@@ -787,6 +900,23 @@ class RunState:
                     except ValueError:  # pragma: no cover
                         continue
                     gens_by_hash.setdefault(h, []).append((g, p))
+                # cross-host guard (same ordering argument as the data-
+                # dir sweep): a committer claims its version BEFORE
+                # writing key generation files, so a claims re-read
+                # taken AFTER the keys glob covers every in-flight
+                # generation the glob saw. The `live_claims` snapshot
+                # above predates the glob — a commit claimed in between
+                # would have its generations deleted and its published
+                # root would then reference missing files. Protect every
+                # above-root version visible NOW; dead ones get one
+                # cycle of shelter and are collected next pass.
+                for p in _glob.glob(os.path.join(self._runs_dir, "*.json")):
+                    try:
+                        fv = int(os.path.splitext(os.path.basename(p))[0])
+                    except ValueError:  # pragma: no cover
+                        continue
+                    if fv > root["version"]:
+                        live_claims.add(fv)
                 for h, lst in gens_by_hash.items():
                     r = ref_by_hash.get(h)
                     prev = (
@@ -836,11 +966,11 @@ class RunState:
                 # only when retention owns stale_version+1, which proves
                 # no commit published since the snapshot; committers can
                 # only claim read_version+1, so they wait behind a
-                # published root). NOTE: the remaining caveat is TWO
-                # retention passes from different hosts rewriting the
-                # same historical run files concurrently (last atomic
-                # write wins — no data loss, but trims can un-apply for
-                # one cycle) — schedule expire_runs from one place.
+                # published root). Concurrent retention passes from
+                # DIFFERENT hosts are serialized by the O_EXCL
+                # _retention.claim lease (expire_runs returns `skipped`
+                # when a live peer owns it), so historical run files are
+                # rewritten by at most one pass at a time.
                 v = root["version"] + 1
                 try:
                     self._claim_version(v, {"records": []})
