@@ -128,6 +128,7 @@ def contamination_scores_stream(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    benchmark_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming-native contamination scoring: documents arrive as a
     STREAM, the benchmark is static.
@@ -146,20 +147,28 @@ def contamination_scores_stream(
     document must carry exactly one ``time_col`` value. Compose with
     ``foreachBatch`` + the batch ``decontaminate`` when drop semantics
     over full micro-batches are wanted instead.
+
+    Cache lifecycle: the hashed benchmark grams are persist()ed (a
+    stream-static join re-evaluates the static plan every micro-batch)
+    and the persisted frame is attached to the returned stream frame as
+    ``.benchmark_grams`` — callers unpersist() it when the query stops,
+    instead of each call pinning another cached copy for the session's
+    lifetime. Alternatively pass a pre-built ``benchmark_grams`` frame
+    (schema: one ``__g`` bigint + ``__hit`` int per distinct benchmark
+    shingle hash, e.g. a previous call's attribute) whose caching the
+    caller owns entirely.
     """
     sh = word_shingles(
         docs.select(id_col, time_col, text_col), text_col, n
     ).select(
         id_col, time_col, F.xxhash64("shingle").alias("__g")
     )
-    # persist the static side: a stream-static join re-evaluates the
-    # static plan EVERY micro-batch — without the cache a long-running
-    # stream re-shingles and re-distincts the whole benchmark corpus
-    # per trigger instead of paying only the broadcast probe
-    bench = F.broadcast(_bench_grams(benchmark, text_col, n).persist())
+    if benchmark_grams is None:
+        benchmark_grams = _bench_grams(benchmark, text_col, n).persist()
+    bench = F.broadcast(benchmark_grams)
     n_grams = F.count(F.lit(1)).cast("bigint")
     n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
-    return (
+    out = (
         sh.withWatermark(time_col, delay)
         .join(bench, "__g", "left")
         .groupBy(time_col, id_col)
@@ -169,3 +178,5 @@ def contamination_scores_stream(
             (n_cont.cast("double") / n_grams).alias("contaminated_frac"),
         )
     )
+    out.benchmark_grams = benchmark_grams
+    return out

@@ -320,7 +320,19 @@ def manifest_scan(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
     else:
-        df = spark.read.parquet(*paths).where(F.lit(False))
+        # ALL files pruned: build the empty frame exactly like the kept
+        # branch — per-run-dir basePath reads unioned — so discovered
+        # hive partition columns (descriptor/connector/date) are
+        # identical regardless of pruning outcome; a bare multi-root
+        # read here could infer a different schema and turn a caller's
+        # select on those columns into an AnalysisException on an
+        # all-pruned watermark (ADVICE r4).
+        from functools import reduce
+
+        frames = [spark.read.option("basePath", p).parquet(p) for p in sorted(paths)]
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        ).where(F.lit(False))
     if pointer_col and watermark is not None:
         from grove_spark.operators.dedup import watermark_literal
 

@@ -155,3 +155,19 @@ def test_contamination_scores_stream_matches_batch(spark, tmp_path, corpus, benc
     assert 4 not in got and 2 not in got
     assert got[1][1] > 0 and got[3][1] == 0  # planted hit / unrelated doc
     assert 99 not in got  # the unflushed sentinel
+
+    # cache lifecycle (ADVICE r4): the persisted benchmark-grams frame
+    # rides on the returned stream frame so callers can unpersist it
+    # when the query stops, instead of leaking one cached copy per call
+    bench_grams = scored.benchmark_grams
+    assert bench_grams.storageLevel.useMemory
+    bench_grams.unpersist(blocking=True)
+    assert not bench_grams.storageLevel.useMemory
+
+    # a caller-owned pre-built grams frame is used as-is (no new cache)
+    scored2 = contamination_scores_stream(
+        stream, bench_set, time_col="event_time", delay="1 minute",
+        benchmark_grams=bench_grams,
+    )
+    assert scored2.benchmark_grams is bench_grams
+    assert not bench_grams.storageLevel.useMemory

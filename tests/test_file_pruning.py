@@ -217,6 +217,18 @@ def test_resumed_run_reads_strict_subset_of_files(spark, tmp_path):
     )
     assert ms_ids == ref_ids
 
+    # ALL-pruned watermark: the empty frame must have the SAME schema as
+    # the kept branch (hive partition columns included) — a caller's
+    # select("descriptor", ...) on a beyond-everything watermark must
+    # return empty, not raise AnalysisException (ADVICE r4)
+    far = dt.datetime(2030, 1, 1)
+    ms_none = manifest_scan(spark, state, pointer_col="event_time",
+                            watermark=far)
+    assert ms_none._grove_prune["files_kept"] == 0
+    assert [(f.name, f.dataType) for f in ms_none.schema.fields] == \
+           [(f.name, f.dataType) for f in ms.schema.fields]
+    assert ms_none.select("descriptor", "doc_id").count() == 0
+
 
 def test_pruned_equals_full_across_boundary_watermarks(spark, ranged_parquet):
     """Result-equality sweep across watermarks sitting ON file
