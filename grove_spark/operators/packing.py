@@ -39,13 +39,31 @@ def pack_sequences(
     order_col: str = "doc_id",
     by: Optional[Sequence[str]] = ("source",),
     bin_col: str = "bin",
+    allow_global: bool = False,
 ) -> DataFrame:
     """Assign each row the training-bin id it starts in.
 
     bin = floor((cumsum(length) - length) / capacity) over rows ordered
     by ``order_col`` within ``by``. Deterministic given the order column.
+
+    ``by=()`` means ONE unpartitioned window — Spark executes that as a
+    single task holding the whole corpus, which at 100 TB is a one-task
+    job. That fallback is refused unless ``allow_global=True`` (and even
+    then it warns): feed a composite key (source, shard_id) the way the
+    corpus is already sharded.
     """
     by = list(by or [])
+    if not by:
+        import warnings
+
+        msg = (
+            "pack_sequences(by=()) uses a GLOBAL window — Spark runs it "
+            "as a single task over the entire input; pass a partition "
+            "key (e.g. by=('source', 'shard_id'))"
+        )
+        if not allow_global:
+            raise ValueError(msg + ", or opt in with allow_global=True")
+        warnings.warn(msg, stacklevel=2)
     w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy(order_col).rowsBetween(
         W.unboundedPreceding, 0
     )

@@ -29,6 +29,17 @@ def test_query_oracle_keys_in_sync():
     assert missing == NO_ORACLE, f"undeclared oracle-less queries: {missing - NO_ORACLE}"
 
 
+def test_catalog_rows_documented_in_coverage():
+    """Gate self-audit (VERDICT r4 #10): at 79+ rows a dead or
+    undocumented catalog entry could hide — every QUERIES name must have
+    an ORACLE twin (above) AND appear in COVERAGE.md's operator map."""
+    import pathlib
+
+    cov = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    undocumented = sorted(k for k in entrymod.queries() if k not in cov)
+    assert not undocumented, f"gate rows absent from COVERAGE.md: {undocumented}"
+
+
 def canon(v):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else f"{v:.9g}"

@@ -30,6 +30,20 @@ def test_pack_sequences_bins_and_straddle(spark):
     assert stats[("s", 0)] == (2, 6000) and stats[("t", 1)] == (1, 1)
 
 
+def test_pack_sequences_global_window_guard(spark):
+    """by=() is a one-task global window — refused unless the caller
+    opts in, and even then it warns (VERDICT r4 #5)."""
+    df = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, 20)], "source string, doc_id int, n_tok int"
+    )
+    with pytest.raises(ValueError, match="GLOBAL window"):
+        pack_sequences(df, length_col="n_tok", by=())
+    with pytest.warns(UserWarning, match="single task"):
+        packed = pack_sequences(df, length_col="n_tok", by=(),
+                                capacity=4096, allow_global=True)
+    assert {r["bin"] for r in packed.collect()} == {0}
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     df = spark.range(10_000).select(
         F.col("id").alias("doc_id"),
