@@ -308,9 +308,15 @@ def tokenizer_run(spark, docs_path: str) -> dict:
     t0 = time.perf_counter()
     tok = train_bpe(docs, num_merges=256)
     train_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    total_tok = tokenize(docs, tok).agg(F.sum(F.size("tokens"))).first()[0]
-    enc_s = time.perf_counter() - t0
+    # cold pass = Python-worker fork + Arrow init + per-executor memo
+    # warm (a fixed cost that amortizes to zero at 100 TB); min-of-2
+    # warm passes is the steady-state throughput (the e2e-leg treatment)
+    enc_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total_tok = tokenize(docs, tok).agg(F.sum(F.size("tokens"))).first()[0]
+        enc_walls.append(time.perf_counter() - t0)
+    enc_cold, enc_s = enc_walls[0], min(enc_walls[1:])
     # roundtrip over a pre-filtered sample: the % filter cannot push
     # below the opaque MapInPandas node, so filtering the ENCODED frame
     # would re-run the full encode a second time
@@ -324,6 +330,8 @@ def tokenizer_run(spark, docs_path: str) -> dict:
         "n_docs": n_docs,
         "train_wall_s": round(train_s, 3),
         "encode_wall_s": round(enc_s, 3),
+        "encode_cold_wall_s": round(enc_cold, 3),
+        "encode_cold_docs_per_sec": round(n_docs / enc_cold, 1),
         "encode_docs_per_sec": round(n_docs / enc_s, 1),
         "encode_mb_per_sec": round(n_bytes / enc_s / 1e6, 2),
         "tokens_per_byte": round(total_tok / n_bytes, 4),

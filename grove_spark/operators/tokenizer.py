@@ -270,32 +270,97 @@ def tokenize(
 ) -> DataFrame:
     """Append ``out_col: array<int>`` — the BPE encoding of
     ``text_col``. One Arrow kernel, no shuffle; merge ranks ship in the
-    task closure (a few KB), pieces are memoized per executor."""
+    task closure (a few KB), pieces are memoized per executor.
+
+    The kernel is ``mapInArrow`` + numpy, not per-piece Python: the only
+    Python-level loop left is one dict probe + int append per piece
+    occurrence (the Zipf memo); token assembly is a single vectorized
+    multi-range gather over a growing (values, starts, lens) encode
+    table, and the output column is built as an Arrow ListArray straight
+    from the numpy stream — no pandas conversion in either direction.
+    Unseen pieces pay the merge walk once per executor (``encode_piece``,
+    the executable spec); Zipf makes that amortize to ~0."""
     merges = tokenizer.merges
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
         tok = BPETokenizer(merges=merges)
-        memo: Dict[str, List[int]] = {}
+        lookup: Dict[str, int] = {}  # piece -> row in the encode table
+        starts_l: List[int] = []     # table row -> offset into values
+        lens_l: List[int] = []       # table row -> id-sequence length
+        chunks: List = []            # pending np.int32 id arrays
+        vlen = 0
 
-        def enc(text) -> List[int]:
-            out: List[int] = []
-            for piece in _PY_PIECE.findall(text if text is not None else ""):
-                ids = memo.get(piece)
-                if ids is None:
-                    if len(memo) > 1_000_000:  # runaway-vocab backstop
-                        memo.clear()
-                    ids = memo[piece] = tok.encode_piece(piece)
-                out.extend(ids)
-            return out
+        for rb in batches:
+            if len(lookup) > 1_000_000:  # runaway-vocab backstop
+                lookup.clear(); starts_l.clear(); lens_l.clear()
+                chunks.clear(); vlen = 0
+            t_idx = rb.schema.get_field_index(text_col)
+            texts = rb.column(t_idx).to_pylist()
+            piece_lists = [
+                _PY_PIECE.findall(t) if isinstance(t, str) else []
+                for t in texts
+            ]
+            # one pass: memo probe per piece occurrence, table append on miss
+            idx_l: List[int] = []
+            app = idx_l.append
+            get = lookup.get
+            enc_piece = tok.encode_piece
+            for ps in piece_lists:
+                for p in ps:
+                    i = get(p)
+                    if i is None:
+                        ids = enc_piece(p)
+                        i = lookup[p] = len(lens_l)
+                        starts_l.append(vlen)
+                        lens_l.append(len(ids))
+                        chunks.append(np.asarray(ids, dtype=np.int32))
+                        vlen += len(ids)
+                    app(i)
+            if len(chunks) > 1:
+                chunks[:] = [np.concatenate(chunks)]
+            values = chunks[0] if chunks else np.empty(0, np.int32)
+            idx = np.asarray(idx_l, dtype=np.int64)
+            ln = np.asarray(lens_l, dtype=np.int64)[idx] if len(idx) else \
+                np.empty(0, np.int64)
+            total = int(ln.sum())
+            if total:
+                s = np.asarray(starts_l, dtype=np.int64)[idx]
+                # vectorized concat(arange(s_i, s_i + ln_i)): unit steps
+                # with a jump of s_i - (s_{i-1} + ln_{i-1} - 1) at each
+                # segment boundary, then one cumsum
+                ends = np.cumsum(ln)
+                step = np.ones(total, dtype=np.int64)
+                step[0] = s[0]
+                if len(s) > 1:
+                    step[ends[:-1]] = s[1:] - s[:-1] - ln[:-1] + 1
+                stream = values[np.cumsum(step)]
+                tok_ends = np.concatenate((np.zeros(1, np.int64), ends))
+            else:
+                stream = np.empty(0, np.int32)
+                tok_ends = np.zeros(len(idx) + 1, np.int64)
+            # doc boundaries: token end = cumulative tokens at the doc's
+            # last piece (empty docs collapse to zero-length slices)
+            pc = np.fromiter(
+                (len(ps) for ps in piece_lists),
+                dtype=np.int64, count=len(piece_lists),
+            )
+            doc_ends = tok_ends[np.cumsum(pc)]
+            offsets = np.concatenate((np.zeros(1, np.int64), doc_ends))
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(stream, pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + [arr],
+                names=list(rb.schema.names) + [out_col],
+            )
 
-        for pdf in batches:
-            pdf[out_col] = pdf[text_col].map(enc)
-            yield pdf
-
-    return df.mapInPandas(kernel, out_schema)
+    return df.mapInArrow(kernel, out_schema)
 
 
 def detokenize_col(tokens: Column, tokenizer: BPETokenizer) -> Column:

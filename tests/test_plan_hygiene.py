@@ -179,9 +179,11 @@ def test_every_gate_query_is_python_free(spark):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan, f"{name} has per-row Python"
         if name not in allowed_arrow:
-            assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-                f"{name} uses Python unexpectedly"
-            )
+            assert (
+                "MapInPandas" not in plan
+                and "MapInArrow" not in plan
+                and "ArrowEvalPython" not in plan
+            ), f"{name} uses Python unexpectedly"
 
 
 def test_fleet_plan_hygiene(spark, loaded):

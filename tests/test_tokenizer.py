@@ -103,11 +103,12 @@ def test_spark_encode_catalyst_decode_roundtrip(spark, corpus_df, tok):
 
 def test_decode_plan_is_pure_catalyst(spark, corpus_df, tok):
     """The cheap direction (decode) must not leave the JVM; encode is
-    the sanctioned Arrow kernel (MapInPandas), never row-at-a-time."""
+    the sanctioned Arrow kernel (MapInArrow — no pandas conversion),
+    never row-at-a-time."""
     enc = tokenize(corpus_df, tok)
     plan_enc = enc._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan_enc
-    assert "MapInPandas" in plan_enc
+    assert "MapInArrow" in plan_enc
     toks_df = spark.createDataFrame(
         [([104, 105],)],
         T.StructType([T.StructField("tokens", T.ArrayType(T.IntegerType()))]),
