@@ -243,6 +243,157 @@ def vault_secrets_provider(
     return provider
 
 
+def ssm_secrets_provider(
+    transport: Callable[[str, dict], dict],
+    region: Optional[str] = None,
+    assume_role_arn: Optional[str] = None,
+) -> Callable[[str], str]:
+    """SSM-parameter-store-shaped secrets backend — reference parity
+    with grove/secrets/aws_ssm.py:97-111 via an injected transport (no
+    AWS in this sandbox; in production the transport wraps boto3, the
+    same decoupling as vault_secrets_provider / the HTTP sink's poster).
+
+    ``transport(action, params) -> dict`` speaks the SSM/STS wire shape:
+
+    * ``get_parameter`` with ``{"Name": path, "WithDecryption": True}``
+      -> ``{"Parameter": {"Value": ...}}`` (the provider returns
+      ``Parameter.Value``, '' when absent — the reference's
+      ``jmespath.search("Parameter.Value", ...)``);
+    * when ``assume_role_arn`` is set, ONE up-front
+      ``sts.assume_role`` call (RoleArn + RoleSessionName, reference
+      :80-84) whose ``Credentials`` ride every later params dict — the
+      cross-account pattern without real STS.
+
+    Transport errors propagate wrapped, matching the reference's
+    AccessException contract (:92-95): a missing parameter is a loud
+    error from the transport, not a silent ''. Register under a scheme:
+    ``scheme_secrets_provider(extra={"ssm": provider})``."""
+    creds: Dict[str, Any] = {}
+    if region:
+        creds["_region"] = region
+    if assume_role_arn:
+        try:
+            role = transport(
+                "sts.assume_role",
+                {"RoleArn": assume_role_arn,
+                 "RoleSessionName": "GroveSecretHandler", **creds},
+            )
+            creds["Credentials"] = role["Credentials"]
+        except Exception as err:
+            raise RuntimeError(
+                f"Secrets handler was unable to access AWS SSM: {err}"
+            ) from err
+
+    def provider(path: str) -> str:
+        try:
+            doc = transport(
+                "get_parameter",
+                {"Name": path, "WithDecryption": True, **creds},
+            )
+        except Exception as err:
+            raise RuntimeError(
+                "Secrets handler failed to read secret from AWS SSM "
+                f"path {path}: {err}"
+            ) from err
+        value = (doc or {}).get("Parameter", {}).get("Value")
+        return value if isinstance(value, str) else (
+            json.dumps(value) if value is not None else ""
+        )
+
+    return provider
+
+
+def ssm_config_provider(
+    transport: Callable[[str, dict], dict],
+    prefix: str = "/grove/connectors/",
+    region: Optional[str] = None,
+    assume_role_arn: Optional[str] = None,
+) -> Callable[..., List[ConnectorConfig]]:
+    """SSM-shaped CONFIG backend — reference parity with
+    grove/configs/aws_ssm.py:100-170: connector config documents are
+    enumerated by path under a common prefix, one bad document can
+    never take the fleet down.
+
+    The returned ``get(id="/")`` joins ``prefix`` with ``id``, then
+    pages ``get_parameters_by_path`` (Recursive + WithDecryption,
+    ``NextToken`` continuation — the boto3 paginator's wire shape) and:
+
+    * skips parameters missing Name or Value (logged, :131-134);
+    * parses each Value as a JSON connector document; invalid JSON or a
+      document the model rejects is logged and SKIPPED (:158-166) —
+      "failure to load a single configuration should NEVER cause Grove
+      to fail";
+    * drops disabled documents, same as the local loader
+      (load_configs / grove/connectors/base.py:61-64).
+
+    Assume-role works exactly as in ssm_secrets_provider."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    creds: Dict[str, Any] = {}
+    if region:
+        creds["_region"] = region
+    if assume_role_arn:
+        try:
+            role = transport(
+                "sts.assume_role",
+                {"RoleArn": assume_role_arn,
+                 "RoleSessionName": "GroveConfigurationHandler", **creds},
+            )
+            creds["Credentials"] = role["Credentials"]
+        except Exception as err:
+            raise RuntimeError(
+                f"Config handler failed to access AWS SSM: {err}"
+            ) from err
+
+    def get(id: str = "/") -> List[ConnectorConfig]:
+        path = f"{prefix.rstrip('/')}/{id.lstrip('/')}"
+        candidates: Dict[str, str] = {}
+        token: Optional[str] = None
+        while True:
+            params: Dict[str, Any] = {
+                "Path": path, "Recursive": True,
+                "WithDecryption": True, **creds,
+            }
+            if token:
+                params["NextToken"] = token
+            try:
+                page = transport("get_parameters_by_path", params) or {}
+            except Exception as err:
+                raise RuntimeError(
+                    "Config handler failed to read value from SSM path "
+                    f"'{path}': {err}"
+                ) from err
+            for parameter in page.get("Parameters", ()):
+                name = parameter.get("Name")
+                value = parameter.get("Value")
+                if name and value:
+                    candidates[name] = value
+                    continue
+                log.error(
+                    "Config handler failed to fetch a connector "
+                    "configuration: path=%s key=%s", path, name,
+                )
+            token = page.get("NextToken")
+            if not token:
+                break
+        connectors: List[ConnectorConfig] = []
+        for name, value in candidates.items():
+            try:
+                cfg = ConnectorConfig.from_dict(json.loads(value))
+            except (json.JSONDecodeError, TypeError, ValueError) as err:
+                log.error(
+                    "Unable to load connector configuration: "
+                    "document=%s: %s", name, err,
+                )
+                continue
+            if not cfg.disabled:
+                connectors.append(cfg)
+        return connectors
+
+    return get
+
+
 def scheme_secrets_provider(
     extra: Optional[Dict[str, Callable[[str], str]]] = None,
 ) -> Callable[[str], str]:

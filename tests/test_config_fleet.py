@@ -398,6 +398,108 @@ def test_vault_backend_hydrates_reference_parity_config(tmp_path):
     ) == "hunter2"
 
 
+def test_ssm_backend_configs_and_secrets_before_fleet_tick(spark, fixture_dir):
+    """VERDICT r4 #7: the SSM-shaped backend family
+    (grove/configs/aws_ssm.py, grove/secrets/aws_ssm.py) through an
+    injected transport — paginated recursive config enumeration under a
+    prefix, one-bad-document-never-fatal, assume-role credential dance,
+    get_parameter secret hydration — all BEFORE the fleet ticks over
+    real sequences."""
+    from grove_spark.config import (
+        assemble_fleet,
+        hydrate_secrets,
+        scheme_secrets_provider,
+        ssm_config_provider,
+        ssm_secrets_provider,
+    )
+
+    calls = []
+    param_store = {
+        "/grove/connectors/prod/okta": json.dumps({
+            "connector": "okta_system_log", "identity": "corp",
+            "outputs": {"logs": "raw"}, "frequency": 60,
+            "secrets": {"api_token": "ssm:/grove/secrets/okta/token"},
+        }),
+        "/grove/connectors/prod/gsuite": json.dumps({
+            "connector": "gsuite_activities", "identity": "corp",
+            "operation": "drive", "outputs": {"logs": "raw"},
+        }),
+        "/grove/connectors/prod/broken": "{not json",       # skipped, logged
+        "/grove/connectors/prod/off": json.dumps(
+            {"connector": "old_thing", "identity": "x", "disabled": True}
+        ),
+        "/grove/secrets/okta/token": "tok-ssm-99",
+    }
+
+    def transport(action, params):
+        calls.append((action, dict(params)))
+        if action == "sts.assume_role":
+            assert params["RoleArn"] == "arn:aws:iam::123:role/grove"
+            return {"Credentials": {"AccessKeyId": "AK", "SessionToken": "ST"}}
+        if action == "get_parameters_by_path":
+            assert params["Recursive"] and params["WithDecryption"]
+            # every post-assume call must carry the assumed credentials
+            assert params["Credentials"]["AccessKeyId"] == "AK"
+            names = sorted(
+                n for n in param_store
+                if n.startswith(params["Path"].rstrip("/") + "/")
+            )
+            # two pages: pagination must be walked, not just page one
+            page = 0 if "NextToken" not in params else int(params["NextToken"])
+            chunk = names[page * 2:(page + 1) * 2]
+            out = {"Parameters": [
+                {"Name": n, "Value": param_store[n]} for n in chunk
+            ] + ([{"Name": "/grove/connectors/prod/novalue"}] if page == 0 else [])}
+            if len(names) > (page + 1) * 2:
+                out["NextToken"] = str(page + 1)
+            return out
+        if action == "get_parameter":
+            assert params["WithDecryption"]
+            return {"Parameter": {"Value": param_store[params["Name"]]}}
+        raise AssertionError(f"unexpected action {action}")
+
+    get_configs = ssm_config_provider(
+        transport, prefix="/grove/connectors/",
+        assume_role_arn="arn:aws:iam::123:role/grove",
+    )
+    cfgs = get_configs("prod")
+    # bad JSON + valueless + disabled all dropped, never fatal
+    assert {c.connector for c in cfgs} == {"gsuite_activities", "okta_system_log"}
+
+    ssm = ssm_secrets_provider(transport)
+    provider = scheme_secrets_provider(extra={"ssm": ssm})
+    hydrate_secrets(cfgs, provider)
+    okta = next(c for c in cfgs if c.connector == "okta_system_log")
+    assert okta.extras["api_token"] == "tok-ssm-99"
+
+    # hydrated configs drive a real fleet tick
+    seq = spark.read.parquet(fixture_dir["sequences"])
+    routed = assemble_fleet(spark, cfgs, seq)
+    counts = {
+        (r["connector"], r["descriptor"]): r["count"]
+        for r in routed.groupBy("connector", "descriptor").count().collect()
+    }
+    assert counts[("okta_system_log", "logs")] == seq.where("source='okta'").count()
+
+    # wire-shape audit: one assume_role, paginated config pages, one
+    # decrypted get_parameter for the secret
+    actions = [a for a, _ in calls]
+    assert actions.count("sts.assume_role") == 1
+    assert actions.count("get_parameters_by_path") >= 2
+    assert actions.count("get_parameter") == 1
+
+    # transport failure surfaces as the reference's loud access error
+    def down(action, params):
+        raise ConnectionError("ssm unreachable")
+
+    with pytest.raises(RuntimeError, match="failed to read secret"):
+        ssm_secrets_provider(down)("/grove/secrets/okta/token")
+    with pytest.raises(RuntimeError, match="failed to read value"):
+        ssm_config_provider(down)("prod")
+    with pytest.raises(RuntimeError, match="unable to access"):
+        ssm_secrets_provider(down, assume_role_arn="arn:aws:iam::1:role/x")
+
+
 def test_unknown_state_keys_fail_loudly(spark):
     """A watermark/seen-state key matching no member used to be silently
     ignored — i.e. a misspelled reference caused a full re-ingest. Now a
