@@ -406,6 +406,88 @@ def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
     }
 
 
+def decon_redact_scale_run(spark, docs_path: str) -> dict:
+    """1M-doc legs for the two remaining gate-scale-only text operators
+    (VERDICT r4 #8).
+
+    Decontamination: the benchmark set is every 200th corpus document
+    verbatim, so ground truth is exact — decontaminate must drop
+    EXACTLY those docs (planted near-copies sit at doc_id%20==19 and
+    boilerplate at %20==0; benchmark ids are ==7 mod 20, so no overlap
+    and random 50-word draws share no 13-gram by chance). Both the
+    broadcast probe and the broadcast_benchmark=False shuffle fallback
+    run at the same scale: the wall ratio IS the crossover evidence,
+    and the hashed gram count x 8 bytes bounds the broadcast payload.
+
+    Redaction: PII planted into every 10th doc via a Catalyst concat at
+    read time; the compiled regexp_replace chain runs over the full
+    corpus with observe() counters asserted against the planted count.
+    """
+    from pyspark.sql import functions as F
+
+    from grove_spark.operators.decontaminate import decontaminate
+    from grove_spark.operators.redact import redact
+
+    docs = (
+        spark.read.parquet(docs_path)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    n_docs = docs.count()
+    benchmark = docs.where(F.col("doc_id") % 200 == 7).select("text")
+    n_bench_docs = benchmark.count()
+    n_bench_grams = benchmark.selectExpr(
+        "explode(slice(split(text, ' '), 1, 38)) g"
+    ).count()  # upper bound; the real probe distincts hashed 13-grams
+    # warm slice: JVM + page-fault warmup
+    decontaminate(docs.limit(20_000), benchmark).count()
+    walls = {}
+    kept = {}
+    for mode, bcast in (("broadcast", True), ("shuffle_fallback", False)):
+        t0 = time.perf_counter()
+        kept[mode] = decontaminate(
+            docs, benchmark, broadcast_benchmark=bcast
+        ).count()
+        walls[mode] = time.perf_counter() - t0
+    n_planted = n_bench_docs  # each benchmark doc contaminates exactly itself
+    assert kept["broadcast"] == kept["shuffle_fallback"] == n_docs - n_planted, (
+        f"decontaminate ground truth violated: kept={kept}, "
+        f"expected {n_docs - n_planted}"
+    )
+
+    pii = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit(" bob@example.com 123-45-6789")),
+        ).otherwise(F.col("text")),
+    )
+    n_pii = docs.where(F.col("doc_id") % 10 == 3).count()
+    red, obs = redact(pii)
+    t0 = time.perf_counter()
+    red.agg(F.sum(F.octet_length("text"))).first()
+    redact_wall = time.perf_counter() - t0
+    hits = obs.get
+    assert hits["email_hits"] == n_pii and hits["ssn_hits"] == n_pii, (
+        f"redact counters disagree with planted PII: {hits} vs {n_pii}"
+    )
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "benchmark_docs": n_bench_docs,
+        "benchmark_grams_upper": n_bench_grams,
+        "benchmark_broadcast_mb_upper": round(n_bench_grams * 8 / 1e6, 2),
+        "decon_broadcast_wall_s": round(walls["broadcast"], 3),
+        "decon_broadcast_docs_per_sec": round(n_docs / walls["broadcast"], 1),
+        "decon_shuffle_wall_s": round(walls["shuffle_fallback"], 3),
+        "decon_shuffle_docs_per_sec": round(n_docs / walls["shuffle_fallback"], 1),
+        "decon_dropped": n_planted,
+        "redact_wall_s": round(redact_wall, 3),
+        "redact_docs_per_sec": round(n_docs / redact_wall, 1),
+        "redact_hits": {k: int(v) for k, v in hits.items()},
+    }
+
+
 def tokenizer_run(spark, docs_path: str) -> dict:
     """Text -> tokens front door: BPE train wall (one distributed piece
     count + bounded driver merge loop) and encode throughput (one Arrow
@@ -560,6 +642,7 @@ def main() -> None:
         spark, dedup_scale_docs, boiler_every=boiler_every
     )
     ann_scale_stats = ann_scale_run(spark, ann_vecs)
+    decon_redact_stats = decon_redact_scale_run(spark, dedup_scale_docs)
 
     import __spark_entry__ as entrymod
 
@@ -608,6 +691,7 @@ def main() -> None:
                 "tokenizer": tokenizer_stats,
                 "dedup_scale": dedup_scale_stats,
                 "ann_scale": ann_scale_stats,
+                "decon_redact_scale": decon_redact_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
                     f"efficiency_8_to_{CPUS}": eff_8_c,
