@@ -414,9 +414,26 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def done(self) -> bytes:
+    def flush(self):
+        """Byte-align with 1-padding (the spec's restart/EOI fill).
+
+        Pads EXACTLY to the boundary: the historical ``8 - n + 1``-bit
+        pad left a residual bit that done() could silently drop but a
+        mid-stream restart marker cannot — it would shift every later
+        segment by one bit."""
         if self.n:
-            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+            assert self.n == 0
+
+    def write_marker(self, marker: int):
+        """Emit a raw FF xx marker into the stream (RSTn): markers are
+        NOT byte-stuffed — flush first so the stream is aligned."""
+        self.flush()
+        self.buf.append(0xFF)
+        self.buf.append(marker)
+
+    def done(self) -> bytes:
+        self.flush()
         return bytes(self.buf)
 
 
@@ -494,22 +511,29 @@ def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
 
 
 def encode_jpeg_color(img: np.ndarray, q: int = 8,
-                      subsampling: str = "444") -> bytes:
+                      subsampling: str = "444",
+                      restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a real BASELINE color
     JPEG: JFIF YCbCr, interleaved MCUs, one shared DC/AC Huffman pair,
     flat quantizer ``q`` for all three components. ``subsampling`` is
-    '444' (one 8x8 per component per MCU) or '420' (the dominant
+    '444' (one 8x8 per component per MCU), '422' (16x8 MCU: two Y
+    blocks + half-horizontal-resolution chroma) or '420' (the dominant
     real-world layout: 16x16 MCU of four Y blocks + one 2x2-box-mean
     Cb + Cr). Same exactness trick as the gray encoder: q=8 constant
-    tiles (8x8 for 444, 16x16 for 420 — constant chroma box-means to
-    itself) round-trip EXACTLY in the YCbCr domain, giving the lossy
-    color path an arithmetic oracle; RGB reconstruction then differs
-    only by the two color-transform roundings (<=2 LSB)."""
+    tiles (8x8 for 444, 16x8 for 422, 16x16 for 420 — constant chroma
+    box-means to itself) round-trip EXACTLY in the YCbCr domain, giving
+    the lossy color path an arithmetic oracle; RGB reconstruction then
+    differs only by the two color-transform roundings (<=2 LSB).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (cycling D0..D7, byte-aligned, DC predictors reset) after every
+    ``restart_interval`` MCUs — the spec's error-resilience / parallel-
+    decode hook, and the layout hardware encoders commonly emit."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, nc = img.shape
     if nc != 3:
         raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     ycc = _rgb_to_ycbcr(img)
     qt = np.full(64, q, dtype=np.int32)
@@ -520,9 +544,23 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8,
 
     bw = _BitWriter()
     prev = [0, 0, 0]
+    mcu_i = 0
+    n_rst = 0
+
+    def end_mcu(last: bool):
+        # RSTn between MCUs only (never after the final one): flush to
+        # a byte boundary, emit the cycling marker, reset DC predictors
+        nonlocal mcu_i, n_rst
+        mcu_i += 1
+        if restart_interval and not last and mcu_i % restart_interval == 0:
+            bw.write_marker(0xD0 + (n_rst % 8))
+            n_rst += 1
+            prev[0] = prev[1] = prev[2] = 0
+
     if subsampling == "444":
         ph, pw = (h + 7) & ~7, (w + 7) & ~7
         padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        n_mcu = (ph // 8) * (pw // 8)
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
                 for c in range(3):  # interleaved MCU: Y, Cb, Cr
@@ -530,7 +568,33 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8,
                              .astype(np.float64) - 128.0)
                     prev[c] = _encode_block(bw, block, qt, dc_codes,
                                             ac_codes, prev[c])
+                end_mcu(mcu_i + 1 == n_mcu)
         sof_comps = b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    elif subsampling == "422":
+        ph, pw = (h + 7) & ~7, (w + 15) & ~15
+        padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        yp = padded[..., 0].astype(np.float64)
+        # 1x2 box mean (horizontal only), rounded once — a constant
+        # region downsamples to itself, keeping the oracle exact
+        chroma = [
+            np.round(padded[..., c].astype(np.float64)
+                     .reshape(ph, pw // 2, 2).mean(axis=2))
+            for c in (1, 2)
+        ]
+        n_mcu = (ph // 8) * (pw // 16)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 16):
+                for vx in (0, 8):  # two Y blocks, left then right
+                    block = yp[by:by + 8, bx + vx:bx + vx + 8] - 128.0
+                    prev[0] = _encode_block(bw, block, qt, dc_codes,
+                                            ac_codes, prev[0])
+                for c in (1, 2):
+                    cb = chroma[c - 1][by:by + 8,
+                                       bx // 2:bx // 2 + 8] - 128.0
+                    prev[c] = _encode_block(bw, cb, qt, dc_codes,
+                                            ac_codes, prev[c])
+                end_mcu(mcu_i + 1 == n_mcu)
+        sof_comps = b"\x01\x21\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
     else:  # 420
         ph, pw = (h + 15) & ~15, (w + 15) & ~15
         padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
@@ -542,6 +606,7 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8,
                      .reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
             for c in (1, 2)
         ]
+        n_mcu = (ph // 16) * (pw // 16)
         for by in range(0, ph, 16):
             for bx in range(0, pw, 16):
                 for vy in (0, 8):  # four Y blocks, raster order
@@ -555,6 +620,7 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8,
                                        bx // 2:bx // 2 + 8] - 128.0
                     prev[c] = _encode_block(bw, cb, qt, dc_codes,
                                             ac_codes, prev[c])
+                end_mcu(mcu_i + 1 == n_mcu)
         sof_comps = b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
 
     out = b"\xff\xd8"
@@ -562,19 +628,23 @@ def encode_jpeg_color(img: np.ndarray, q: int = 8,
     out += _jpeg_seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
     out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
     out += _jpeg_dht(0, 0, dc_bits, dc_vals) + _jpeg_dht(1, 0, ac_bits, ac_vals)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     out += _jpeg_seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
     out += bw.done()
     out += b"\xff\xd9"
     return out
 
 
-def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, q: int = 8,
+                     restart_interval: int = 0) -> bytes:
     """Encode a (h, w) uint8 array as a real BASELINE JPEG (SOI/APP0/
     DQT/SOF0/DHT/SOS/EOI, single grayscale component, no subsampling).
     ``q`` is the flat quantization value for all 64 coefficients; q=8
     makes CONSTANT 8x8 tiles round-trip EXACTLY (DC = 8*(v-128) divides
     by 8 without loss, all AC are zero), which is what gives a lossy
-    codec an arithmetic oracle."""
+    codec an arithmetic oracle. ``restart_interval`` as in
+    encode_jpeg_color (one gray MCU = one 8x8 block)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
@@ -587,16 +657,27 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
+    n_mcu = (ph // 8) * (pw // 8)
+    mcu_i = 0
+    n_rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
             prev_dc = _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc)
+            mcu_i += 1
+            if (restart_interval and mcu_i != n_mcu
+                    and mcu_i % restart_interval == 0):
+                bw.write_marker(0xD0 + (n_rst % 8))
+                n_rst += 1
+                prev_dc = 0
 
     out = b"\xff\xd8"  # SOI
     out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _jpeg_seg(0xDB, b"\x00" + bytes(int(qt[i]) for i in range(64)))
     out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += _jpeg_dht(0, 0, dc_bits, dc_vals) + _jpeg_dht(1, 0, ac_bits, ac_vals)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     out += _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bw.done()
     out += b"\xff\xd9"  # EOI
@@ -605,8 +686,8 @@ def encode_jpeg_gray(img: np.ndarray, q: int = 8) -> bytes:
 
 def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     """Decode a BASELINE sequential JPEG (8-bit grayscale, or 3-component
-    YCbCr interleaved at 4:4:4 or 4:2:0, no restart markers) with pure
-    numpy: marker
+    YCbCr interleaved at 4:4:4, 4:2:2 or 4:2:0; restart intervals
+    honored) with pure numpy: marker
     walk, DQT/DHT/SOF0/SOS parse, canonical Huffman entropy decode with
     byte-unstuffing, dequantize via the stream's own tables, float IDCT,
     level shift, clamp, crop. Gray returns (h, w); color returns
@@ -614,12 +695,15 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     (the domain where q=8 constant tiles round-trip EXACTLY, see
     encode_jpeg_color). ``color_space`` is validated up front but only
     affects 3-component frames: a grayscale stream has no color
-    transform and returns its single plane either way. 4:2:0 chroma
-    upsamples by replication (the spec leaves the filter to the
-    decoder; replication keeps constant regions exact). Progressive /
-    other subsampling layouts / DRI streams raise loudly (documented
-    scope: the training-pipeline gate path; production swaps in
-    libjpeg via the same kernel signature)."""
+    transform and returns its single plane either way. Subsampled
+    chroma upsamples by replication (the spec leaves the filter to the
+    decoder; replication keeps constant regions exact). A DRI interval
+    splits the entropy stream at RSTn markers into byte-aligned
+    segments with DC predictors reset (spec F.2.1.3.1); undeclared RST
+    markers or too few segments raise loudly. Progressive / other
+    subsampling layouts raise loudly (documented scope: the
+    training-pipeline gate path; production swaps in libjpeg via the
+    same kernel signature)."""
     if color_space not in ("rgb", "ycbcr"):
         raise ValueError(f"unknown color_space {color_space!r}")
     if blob[:2] != b"\xff\xd8":
@@ -627,6 +711,7 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
     pos = 2
     qtables: dict = {}
     huff: dict = {}
+    restart_interval = 0
     h = w = None
     comps: list = []  # (component id, quant-table id) in SOF order
     scan_sel: dict = {}  # component id -> (dc table, ac table)
@@ -669,17 +754,17 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
                 comps.append((cid, tq, hv))
             hvs = [hv for _, _, hv in comps]
             if not (hvs == [0x11] or hvs == [0x11] * 3
+                    or hvs == [0x21, 0x11, 0x11]
                     or hvs == [0x22, 0x11, 0x11]):
                 raise ValueError(
                     "unsupported subsampling layout "
-                    f"{[hex(v) for v in hvs]} (4:4:4 and 4:2:0 only)"
+                    f"{[hex(v) for v in hvs]} (4:4:4, 4:2:2 and 4:2:0 only)"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise ValueError("restart intervals (DRI) unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps):
@@ -712,21 +797,31 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
             qtables[tq],
         ))
 
-    # unstuff the entropy stream up to the next marker
-    data = bytearray()
+    # unstuff the entropy stream up to the next marker; RSTn markers
+    # (FF D0..D7) split it into restart segments, each independently
+    # byte-aligned with its own DC-predictor state
+    segments: list = [bytearray()]
     i = scan_start
     while i < len(blob):
         b = blob[i]
         if b == 0xFF:
             nxt = blob[i + 1] if i + 1 < len(blob) else 0xD9
             if nxt == 0x00:
-                data.append(0xFF)
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker: new segment
+                segments.append(bytearray())
                 i += 2
                 continue
             break  # a real marker ends the scan
-        data.append(b)
+        segments[-1].append(b)
         i += 1
+    if len(segments) > 1 and restart_interval == 0:
+        raise ValueError("RST markers present but no DRI interval declared")
 
+    seg_idx = 0
+    data = segments[0]
     bitpos = 0
     nbits = len(data) * 8
 
@@ -738,6 +833,22 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
         bit = (byte >> (7 - (bitpos & 7))) & 1
         bitpos += 1
         return bit
+
+    def restart() -> None:
+        # spec F.2.1.3.1: at each restart the decoder moves to the next
+        # byte-aligned segment and resets every DC predictor
+        nonlocal seg_idx, data, bitpos, nbits
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError(
+                "entropy stream has fewer restart segments than the "
+                "DRI interval requires"
+            )
+        data = segments[seg_idx]
+        bitpos = 0
+        nbits = len(data) * 8
+        for ci in range(len(prev_dc)):
+            prev_dc[ci] = 0
 
     def read_sym(table) -> int:
         code, ln = 0, 0
@@ -759,15 +870,28 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
 
     ncomp = len(comps)
     is_420 = ncomp == 3 and comps[0][2] == 0x22
+    is_422 = ncomp == 3 and comps[0][2] == 0x21
     if is_420:
         ph, pw = (h + 15) & ~15, (w + 15) & ~15
         planes = [np.empty((ph, pw), dtype=np.uint8),
                   np.empty((ph // 2, pw // 2), dtype=np.uint8),
                   np.empty((ph // 2, pw // 2), dtype=np.uint8)]
+    elif is_422:
+        ph, pw = (h + 7) & ~7, (w + 15) & ~15
+        planes = [np.empty((ph, pw), dtype=np.uint8),
+                  np.empty((ph, pw // 2), dtype=np.uint8),
+                  np.empty((ph, pw // 2), dtype=np.uint8)]
     else:
         ph, pw = (h + 7) & ~7, (w + 7) & ~7
         planes = [np.empty((ph, pw), dtype=np.uint8) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
+    mcu_i = 0
+
+    def begin_mcu() -> None:
+        nonlocal mcu_i
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            restart()
+        mcu_i += 1
 
     def read_block(ci: int) -> np.ndarray:
         dc_map, ac_map, qt = ctabs[ci]
@@ -799,6 +923,7 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
         # half resolution (matches the encoder's interleave exactly)
         for by in range(0, ph, 16):
             for bx in range(0, pw, 16):
+                begin_mcu()
                 for vy in (0, 8):
                     for vx in (0, 8):
                         planes[0][by + vy:by + vy + 8,
@@ -806,9 +931,22 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
                 for ci in (1, 2):
                     planes[ci][by // 2:by // 2 + 8,
                                bx // 2:bx // 2 + 8] = read_block(ci)
+    elif is_422:
+        # 16x8 MCU: two Y blocks left-to-right, then Cb, Cr at half
+        # horizontal resolution
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 16):
+                begin_mcu()
+                for vx in (0, 8):
+                    planes[0][by:by + 8,
+                              bx + vx:bx + vx + 8] = read_block(0)
+                for ci in (1, 2):
+                    planes[ci][by:by + 8,
+                               bx // 2:bx // 2 + 8] = read_block(ci)
     else:
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
+                begin_mcu()
                 for ci in range(ncomp):  # interleaved MCU in SOF order
                     planes[ci][by:by + 8, bx:bx + 8] = read_block(ci)
     if ncomp == 1:
@@ -818,6 +956,10 @@ def decode_jpeg(blob: bytes, color_space: str = "rgb") -> np.ndarray:
         # decoder; replication keeps constant regions exact)
         planes = [planes[0]] + [
             np.repeat(np.repeat(p, 2, axis=0), 2, axis=1) for p in planes[1:]
+        ]
+    elif is_422:
+        planes = [planes[0]] + [
+            np.repeat(p, 2, axis=1) for p in planes[1:]
         ]
     ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
     if color_space == "ycbcr":

@@ -325,13 +325,14 @@ def test_jpeg_rejects_unsupported_streams_loudly():
     blob2[j + 9] = 2  # component count byte in SOF0 payload
     with _pytest.raises(ValueError, match="components=2"):
         decode_jpeg(bytes(blob2))
-    # DRI with a nonzero interval rejected
+    # a declared DRI whose interval never fires (single-MCU stream, no
+    # RSTs present) is valid and must decode — DRI support is real now,
+    # not a loud reject (VERDICT r4 #9)
     dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 8)
     blob3 = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
     k = blob3.find(b"\xff\xda")
     blob3 = blob3[:k] + dri + blob3[k:]
-    with _pytest.raises(ValueError, match="DRI"):
-        decode_jpeg(bytes(blob3))
+    assert (decode_jpeg(bytes(blob3)) == 0).all()
 
 
 def test_jpeg_decoder_plugs_into_featurize_kernel(spark):
@@ -402,18 +403,19 @@ def test_jpeg_color_general_images_near_exact_at_unit_quant():
 
 
 def test_jpeg_color_rejects_unsupported_subsampling():
-    """A subsampling layout outside 4:4:4 / 4:2:0 (e.g. 4:2:2's 2x1)
-    must raise, not mis-decode."""
+    """A subsampling layout outside 4:4:4 / 4:2:2 / 4:2:0 (e.g. the
+    vertical-only 1x2, or 4x1) must raise, not mis-decode."""
     import numpy as np
     import pytest as _pytest
 
     from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_color
 
-    blob = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8)))
-    j = blob.find(b"\xff\xc0")
-    blob[j + 11] = 0x21  # Y component HV -> 2x1 (4:2:2)
-    with _pytest.raises(ValueError, match="subsampling"):
-        decode_jpeg(bytes(blob))
+    for hv in (0x12, 0x41):  # 1x2 (vertical 4:2:2), 4x1
+        blob = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8)))
+        j = blob.find(b"\xff\xc0")
+        blob[j + 11] = hv
+        with _pytest.raises(ValueError, match="subsampling"):
+            decode_jpeg(bytes(blob))
 
 
 def test_jpeg_420_constant_tiles_exact_in_ycbcr():
@@ -460,6 +462,106 @@ def test_jpeg_420_luma_near_exact_at_unit_quant():
                       color_space="ycbcr")
     want_y = _rgb_to_ycbcr(img)[..., 0]
     assert np.max(np.abs(ycc[..., 0].astype(int) - want_y.astype(int))) <= 1
+
+
+def test_jpeg_422_constant_tiles_exact_in_ycbcr():
+    """4:2:2 (VERDICT r4 #9): q=8 constant 16x8 RGB tiles round-trip
+    EXACTLY in YCbCr (constant chroma 1x2-box-means to itself), incl. a
+    non-multiple-of-16-width crop; RGB within the two color roundings."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(19)
+    tiles = np.repeat(
+        np.repeat(rng.randint(0, 256, (3, 2, 3), dtype=np.uint8), 8, 0), 16, 1
+    )
+    for img in (tiles, tiles[:18, :27]):  # exact MCUs + padded crop
+        blob = encode_jpeg_color(img, q=8, subsampling="422")
+        assert np.array_equal(
+            decode_jpeg(blob, color_space="ycbcr"), _rgb_to_ycbcr(img)
+        ), img.shape
+        rgb = decode_jpeg(blob)
+        assert rgb.shape == img.shape
+        assert np.max(np.abs(rgb.astype(int) - img.astype(int))) <= 2
+
+
+def test_jpeg_422_luma_near_exact_at_unit_quant():
+    """Random RGB through 4:2:2 at q=1: chroma is horizontally lossy,
+    the full-resolution luma comes back within DCT rounding."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (21, 34, 3), dtype=np.uint8)
+    ycc = decode_jpeg(encode_jpeg_color(img, q=1, subsampling="422"),
+                      color_space="ycbcr")
+    want_y = _rgb_to_ycbcr(img)[..., 0]
+    assert np.max(np.abs(ycc[..., 0].astype(int) - want_y.astype(int))) <= 1
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI/RSTn (VERDICT r4 #9): the same image encoded with restart
+    intervals (byte-aligned cycling RSTn, DC predictors reset per spec
+    F.2.1.3.1) must decode bit-identically to the restart-free stream —
+    gray and every color layout, at intervals that land mid-row and on
+    the last MCU."""
+    import numpy as np
+
+    from grove_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(29)
+    g = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    for r in (1, 2, 5, 7):
+        with_rst = encode_jpeg_gray(g, q=1, restart_interval=r)
+        assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+        assert np.array_equal(
+            decode_jpeg(with_rst), decode_jpeg(encode_jpeg_gray(g, q=1))
+        ), f"gray r={r}"
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    for sub in ("444", "422", "420"):
+        for r in (1, 3):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_color(
+                    img, q=1, subsampling=sub, restart_interval=r)),
+                decode_jpeg(encode_jpeg_color(img, q=1, subsampling=sub)),
+            ), f"{sub} r={r}"
+
+
+def test_jpeg_restart_malformed_streams_are_loud():
+    """RST markers with no DRI declaration, and a DRI interval the
+    stream's segments cannot satisfy, both raise — never mis-decode."""
+    import re
+
+    import numpy as np
+    import pytest as _pytest
+
+    from grove_spark.operators.multimodal import decode_jpeg, encode_jpeg_color
+
+    img = np.random.RandomState(31).randint(0, 256, (24, 24, 3), np.uint8)
+    blob = encode_jpeg_color(img, q=1, restart_interval=3)
+    no_dri = re.sub(rb"\xff\xdd\x00\x04\x00\x03", b"", blob, count=1)
+    with _pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg(no_dri)
+    # interval 1 demands more segments than the interval-3 stream has
+    wrong = blob.replace(
+        b"\xff\xdd\x00\x04\x00\x03", b"\xff\xdd\x00\x04\x00\x01", 1
+    )
+    with _pytest.raises(ValueError, match="fewer restart segments"):
+        decode_jpeg(wrong)
 
 
 def test_jpeg_color_space_validated_and_mismatch_is_loud():
