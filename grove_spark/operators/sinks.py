@@ -158,3 +158,169 @@ def stdout_sink(
         print(row["line"], file=stream, flush=True)
         n += 1
     return n
+
+
+# -- S3 object-put sink: the credential dance -------------------------------
+
+S3_OBJECT_KEY = (
+    "{descriptor}{connector}/{identity}/{year}/{month}/{day}/"
+    "{operation}-{datestamp}.{part}{kind}"
+)  # grove/outputs/aws_s3.py:18-21 (datestamp format constants.py:19)
+
+
+class S3ObjectOutput:
+    """The reference S3 output's CREDENTIAL machinery with an injected
+    transport — closes the one part of O2 the partitioned parquet sink
+    doesn't carry: STS assume-role for cross-account buckets and the
+    retry-once-on-ExpiredToken renewal loop
+    (grove/outputs/aws_s3.py:60-117 setup, :155-186 submit).
+
+    ``transport(action, params) -> dict`` speaks the same wire shape as
+    the SSM providers (config.py): ``sts.assume_role`` returning
+    ``{"Credentials": {...}}`` and ``put_object`` taking Bucket / Key /
+    Body (+ the active ``Credentials``). A transport error whose
+    ``.response["Error"]["Code"]`` is ``"ExpiredToken"`` (the
+    ClientError shape) triggers ONE re-``setup()`` + retry — the
+    long-run STS-expiry case; anything else raises immediately with the
+    reference's message. Instances are picklable closures over plain
+    config, so ``partition_submitter`` runs them executor-side exactly
+    like http_sink's poster — the driver never materializes the batch.
+    """
+
+    def __init__(
+        self,
+        transport: Callable[[str, dict], dict],
+        bucket: str,
+        bucket_region: Optional[str] = None,
+        assume_role_arn: Optional[str] = None,
+    ):
+        self.transport = transport
+        self.bucket = bucket
+        self.bucket_region = bucket_region
+        self.assume_role_arn = assume_role_arn
+        self.credentials: Optional[dict] = None
+        self.setup_count = 0
+        self.setup()
+
+    def setup(self) -> None:
+        self.setup_count += 1
+        if not self.assume_role_arn:
+            return
+        try:
+            role = self.transport(
+                "sts.assume_role",
+                {
+                    "RoleArn": self.assume_role_arn,
+                    "RoleSessionName": "GroveOutputWriter",
+                    "_region": self.bucket_region,
+                },
+            )
+            self.credentials = role["Credentials"]
+        except Exception as err:
+            raise RuntimeError(
+                f"Output handler is unable to access AWS S3: {err}"
+            ) from err
+
+    def submit(
+        self,
+        data: bytes,
+        connector: str,
+        identity: str,
+        operation: str,
+        part: int = 0,
+        kind: str = ".json.gz",
+        descriptor: str = "logs/",
+        now=None,
+    ) -> str:
+        """Put one object; returns the key written. Retries exactly once
+        on ExpiredToken after renewing the session (aws_s3.py:155-186)."""
+        import datetime as _dt
+        import logging as _logging
+
+        if descriptor and not descriptor.endswith("/"):
+            descriptor = f"{descriptor}/"
+        datestamp = now or _dt.datetime.now(_dt.timezone.utc)
+        key = S3_OBJECT_KEY.format(
+            part=part,
+            connector=connector,
+            identity=identity,
+            operation=operation,
+            year=datestamp.strftime("%Y"),
+            month=datestamp.strftime("%m"),
+            day=datestamp.strftime("%d"),
+            datestamp=datestamp.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            descriptor=descriptor,
+            kind=kind,
+        )
+        for _ in range(2):
+            try:
+                self.transport(
+                    "put_object",
+                    {
+                        "Bucket": self.bucket,
+                        "Key": key,
+                        "Body": data,
+                        "Credentials": self.credentials,
+                        "_region": self.bucket_region,
+                    },
+                )
+                return key
+            except Exception as err:
+                code = getattr(err, "response", {}).get("Error", {}).get("Code", "")
+                if code != "ExpiredToken":
+                    raise RuntimeError(
+                        f"Unable to write object to AWS S3: {err}"
+                    ) from err
+            _logging.getLogger(__name__).warning(
+                "AWS S3 session expired, requesting a new one."
+            )
+            self.setup()
+        raise RuntimeError(
+            "An unknown error occurred when attempting to write the "
+            "object to S3."
+        )
+
+
+def s3_object_sink(
+    output: S3ObjectOutput,
+    connector: str,
+    identity: str,
+    operation: str,
+    descriptor: str = "logs/",
+    now=None,
+):
+    """foreachPartition submitter: each partition serializes its rows to
+    gzip NDJSON EXECUTOR-SIDE and puts one object with its partition id
+    as the reference's ``part`` counter (O8) — the driver never sees the
+    bytes, same shape as http_sink. Use:
+    ``df.rdd.mapPartitionsWithIndex(...)`` is avoided on purpose; the
+    Catalyst ``to_json`` projection stays in the JVM and only finished
+    JSON lines cross to Python."""
+
+    def submit(df: DataFrame, epoch_id: int = 0) -> None:
+        payload = df.select(
+            F.to_json(
+                F.struct(*[F.col(c) for c in df.columns]),
+                {"ignoreNullFields": "false"},
+            ).alias("j"),
+            F.spark_partition_id().alias("p"),
+        )
+
+        def put_partition(rows) -> None:
+            import gzip as _gzip
+
+            lines, part = [], 0
+            for r in rows:
+                lines.append(r["j"])
+                part = r["p"]
+            if not lines:
+                return
+            body = _gzip.compress(("\n".join(lines) + "\n").encode())
+            output.submit(
+                body, connector, identity, operation,
+                part=part, descriptor=descriptor, now=now,
+            )
+
+        payload.foreachPartition(put_partition)
+
+    return submit
