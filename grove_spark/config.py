@@ -380,7 +380,12 @@ def ssm_config_provider(
         connectors: List[ConnectorConfig] = []
         for name, value in candidates.items():
             try:
-                cfg = ConnectorConfig.from_dict(json.loads(value))
+                doc = json.loads(value)
+                if not isinstance(doc, dict):
+                    raise ValueError(
+                        f"expected a JSON object, got {type(doc).__name__}"
+                    )
+                cfg = ConnectorConfig.from_dict(doc)
             except (json.JSONDecodeError, TypeError, ValueError) as err:
                 log.error(
                     "Unable to load connector configuration: "

@@ -26,14 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingle") -> DataFrame:
-    """Distinct word n-gram shingles per document, as one exploded row per
-    (doc_id, shingle). Pure Catalyst: split + transform + explode.
+def _distinct_grams(text_col: str, n: int):
+    """DISTINCT word n-gram shingle array for one document row — THE
+    shingle definition, shared by signature generation (word_shingles)
+    and verify (hashed_shingle_sets) so the two can never disagree on
+    what a shingle is.
 
-    Documents with fewer than ``n`` words produce no shingles (the row is
-    dropped by the explode of an empty array) — guarded explicitly:
-    ``sequence(0, k-1)`` with k=0 yields a DESCENDING [0,-1] in Spark and
-    the slice at start 0 throws INVALID_PARAMETER_VALUE.START."""
+    Documents with fewer than ``n`` words yield an empty array —
+    guarded explicitly: ``sequence(0, k-1)`` with k=0 yields a
+    DESCENDING [0,-1] in Spark and the slice at start 0 throws
+    INVALID_PARAMETER_VALUE.START."""
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - (n - 1)
     grams = F.when(
@@ -43,7 +45,16 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = 
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out, F.explode(F.array_distinct(grams)))
+    return F.array_distinct(grams)
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per document, as one exploded row per
+    (doc_id, shingle). Pure Catalyst: split + transform + explode.
+
+    Documents with fewer than ``n`` words produce no shingles (the row
+    is dropped by the explode of an empty array — see _distinct_grams)."""
+    return df.withColumn(out, F.explode(_distinct_grams(text_col, n)))
 
 
 def hashed_shingle_sets(
@@ -63,16 +74,7 @@ def hashed_shingle_sets(
     already had. Jaccard over the hashed sets equals Jaccard over the
     strings up to xxhash64 collisions (~n_shingles²/2⁶⁴ per doc).
     Documents with fewer than ``n`` words yield an empty set (kept)."""
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
+    hashed = F.transform(_distinct_grams(text_col, n), lambda g: F.xxhash64(g))
     return docs.select(F.col(id_col).alias("doc"), hashed.alias(out))
 
 

@@ -252,7 +252,7 @@ class S3ObjectOutput:
             descriptor=descriptor,
             kind=kind,
         )
-        for _ in range(2):
+        for tries in range(2):
             try:
                 self.transport(
                     "put_object",
@@ -267,18 +267,15 @@ class S3ObjectOutput:
                 return key
             except Exception as err:
                 code = getattr(err, "response", {}).get("Error", {}).get("Code", "")
-                if code != "ExpiredToken":
-                    raise RuntimeError(
-                        f"Unable to write object to AWS S3: {err}"
-                    ) from err
-            _logging.getLogger(__name__).warning(
-                "AWS S3 session expired, requesting a new one."
-            )
-            self.setup()
-        raise RuntimeError(
-            "An unknown error occurred when attempting to write the "
-            "object to S3."
-        )
+                if code == "ExpiredToken" and tries == 0:
+                    _logging.getLogger(__name__).warning(
+                        "AWS S3 session expired, requesting a new one."
+                    )
+                    self.setup()
+                    continue
+                raise RuntimeError(
+                    f"Unable to write object to AWS S3: {err}"
+                ) from err
 
 
 def s3_object_sink(

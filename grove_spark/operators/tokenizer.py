@@ -15,7 +15,7 @@ Scale shape (the 100 TB story):
   over that bounded, Zipf-truncated table (the IVF-centroid pattern:
   bounded driver sample, distributed everything-else). Truncation is
   principled: BPE statistics are dominated by frequent pieces.
-* ENCODE is one ``mapInPandas`` kernel (Arrow batches, zero shuffle,
+* ENCODE is one ``mapInArrow`` kernel (Arrow batches, zero shuffle,
   no per-row Python in the plan) with a per-executor piece->ids memo —
   Zipf makes the memo hit rate ~1, so each distinct piece pays the
   merge walk once per executor, not once per occurrence.

@@ -122,7 +122,7 @@ class DynamoKVCache:
                 return str(response["Item"]["data"]["S"])
             except (KeyError, TypeError):
                 raise NotFoundError((pk, sk)) from None
-        raise CacheAccessError("Unable to get value from cache.")
+        raise AssertionError("unreachable: the retry loop returns or raises")
 
     def set(
         self,

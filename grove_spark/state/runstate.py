@@ -636,8 +636,25 @@ class RunState:
         return False
 
     def _release_retention_lease(self) -> None:
-        with contextlib.suppress(OSError):
-            os.remove(os.path.join(self.root, "_retention.claim"))
+        """Remove the lease only if WE still own it. A pass that stalled
+        past stale_claim_ttl_s may have had its lease reclaimed (renamed
+        away + re-created) by another host; removing unconditionally
+        would delete the reclaimer's LIVE lease and let a third pass run
+        concurrently with it. Read-then-remove leaves a microseconds
+        TOCTOU (reclaim landing between the read and the remove), vs the
+        minutes-wide stall window the ownership check closes; the
+        reclaim path itself stays atomic (rename)."""
+        import socket
+
+        path = os.path.join(self.root, "_retention.claim")
+        with contextlib.suppress(OSError, json.JSONDecodeError):
+            with open(path) as f:
+                owner = json.load(f)
+            if (
+                owner.get("host") == socket.gethostname()
+                and owner.get("pid") == os.getpid()
+            ):
+                os.remove(path)
 
     def expire_runs(
         self,

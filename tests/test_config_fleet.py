@@ -425,6 +425,7 @@ def test_ssm_backend_configs_and_secrets_before_fleet_tick(spark, fixture_dir):
             "operation": "drive", "outputs": {"logs": "raw"},
         }),
         "/grove/connectors/prod/broken": "{not json",       # skipped, logged
+        "/grove/connectors/prod/list": "[1, 2]",  # valid JSON, non-object: skipped
         "/grove/connectors/prod/off": json.dumps(
             {"connector": "old_thing", "identity": "x", "disabled": True}
         ),

@@ -69,6 +69,26 @@ def test_live_peer_lease_skips_and_dead_peer_is_reclaimed(tmp_path):
     assert not os.path.exists(os.path.join(root, "_retention.claim"))
 
 
+def test_release_only_removes_own_lease(tmp_path):
+    """A pass that stalls past the TTL can have its lease reclaimed by
+    another host; its finally-block release must NOT delete the
+    reclaimer's live lease (that would let a third pass run concurrently
+    with the reclaimer — the exact race the lease exists to prevent)."""
+    root = str(tmp_path / "state")
+    st = _seed(root, 2)
+    lease = os.path.join(root, "_retention.claim")
+    # a foreign host owns the lease now (the reclaimer)
+    with open(lease, "w") as f:
+        json.dump({"host": "elsewhere", "pid": 1, "ts": time.time()}, f)
+    st._release_retention_lease()
+    assert os.path.exists(lease), "released a lease another host owns"
+    os.remove(lease)
+    # our own lease releases normally
+    assert st._acquire_retention_lease()
+    st._release_retention_lease()
+    assert not os.path.exists(lease)
+
+
 def test_cross_host_lease_respects_server_clock_ttl(tmp_path):
     root = str(tmp_path / "state")
     st = _seed(root, 3)

@@ -187,8 +187,10 @@ def test_s3_output_other_errors_and_double_expiry_are_loud(tmp_path):
                       fail_codes=("ExpiredToken", "ExpiredToken")),
         bucket="b")
     (tmp_path / "t2").mkdir()
-    with _pytest.raises(RuntimeError, match="unknown error"):
+    # second consecutive expiry: loud, specific, CHAINED (not "unknown")
+    with _pytest.raises(RuntimeError, match="Unable to write object") as ei:
         out2.submit(b"x", "c", "i", "all", now=dt.datetime(2024, 1, 1))
+    assert ei.value.__cause__ is not None
 
 
 def test_s3_object_sink_puts_gzip_ndjson_per_partition(spark, tmp_path):
