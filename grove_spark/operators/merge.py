@@ -1,0 +1,253 @@
+"""Copy-on-write MERGE over committed run outputs — the Iceberg
+``MERGE INTO`` analog for the run-state manifest.
+
+A log pipeline at 100 TB needs more than append: late corrections
+(re-delivered events with fixed fields), upstream re-crawls that
+supersede earlier document versions, and key-targeted deletion (the
+right-to-be-forgotten path for a training-data store). All three are
+one primitive: rewrite the rows whose merge key matches an update,
+keep everything else byte-identical, and swap atomically.
+
+The shape is copy-on-write at RUN-DIR granularity, reusing the
+compaction rewrite-record protocol (operators/compaction.py — same
+``data_paths`` + ``replaces`` atomic swap, same reader contract):
+
+* **prune first** — per-dir [min, max] of the first merge-key column
+  come from parquet FOOTERS (metadata only); a broadcast interval join
+  of the update keys against those ranges finds the dirs that can
+  possibly contain a match. Dirs whose key range cannot overlap any
+  update key are never read, never rewritten — on a range-clustered
+  store a small correction batch touches a handful of dirs out of
+  thousands. Stat-less dirs are kept conservatively (pruning changes
+  cost, never results).
+* **rewrite only those** — matched target rows are dropped via a
+  single anti-join (updates broadcast by default — a correction batch
+  is dim-sized); surviving rows plus the update rows (upsert) land in
+  ONE new ``part-merge-<run_id>`` dir through the judged partitioned
+  writer, so hive layout and footer stats keep working.
+* **swap atomically** — the commit is CONDITIONAL on the manifest
+  version read at the start (``expected_version``): a concurrent
+  commit between snapshot and publish raises ConcurrentCommitError
+  instead of silently merging against a stale snapshot. Readers see
+  the old dirs or the new one, never both (RunState's contract);
+  superseded dirs linger until ``expire_runs``.
+
+Source-key uniqueness is enforced loudly (one aggregate): two update
+rows sharing a merge key would make the rewrite nondeterministic —
+the same error contract as Delta/Iceberg's
+"multiple source rows matched".
+
+Row accounting is footer-derived, not an extra job: matched/inserted/
+deleted counts come from manifest row counts before vs after plus the
+update count the uniqueness check already paid for.
+
+Reference parity: Grove has no in-place mutation — its outputs are
+append-only objects (grove/outputs/aws_s3.py) and corrections arrive
+as re-collected runs deduplicated downstream (grove/connectors/
+__init__.py pointer+hash dedup). This operator is the lakehouse-side
+completion of that story: the dedup decides which version wins, MERGE
+materializes the decision into the committed store.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grove_spark.state.runstate import RunState
+
+
+def _dir_key_ranges(dirs: Sequence[str], key_col: str) -> dict:
+    """{dir: {"min", "max", "rows"}} for the first merge-key column,
+    from parquet footers only. A dir with any stat-less file maps to
+    min=max=None (must be treated as affected)."""
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+
+    out = {}
+    for d in dirs:
+        files = _list_parquet(d)
+        stats = parquet_file_stats(files, key_col) if files else {}
+        lo = hi = None
+        rows = 0
+        complete = True
+        for ent in stats.values():
+            rows += ent.get("rows") or 0
+            if ent.get("min") is None or ent.get("max") is None:
+                complete = False
+                continue
+            lo = ent["min"] if lo is None else min(lo, ent["min"])
+            hi = ent["max"] if hi is None else max(hi, ent["max"])
+        if not complete:
+            lo = hi = None
+        out[d] = {"min": lo, "max": hi, "rows": rows}
+    return out
+
+
+def merge_into(
+    spark: SparkSession,
+    state: RunState,
+    out_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str = "update",
+    pointer_col: str = "event_time",
+    connector_key: str = "fleet",
+    broadcast_updates: bool = True,
+    max_records_per_file: int = 1_000_000,
+) -> Optional[dict]:
+    """Copy-on-write MERGE of ``updates`` into the committed store under
+    ``out_path``. See the module docstring for the full contract.
+
+    ``when_matched="update"`` upserts: matched target rows are replaced
+    by their update row, unmatched update rows are inserted (the
+    update frame must carry the full store schema). ``"delete"``
+    removes matched rows; the update frame only needs ``key_cols``.
+    Returns the merge metrics dict, or None for a no-op delete.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+
+    base_version = state.version()
+    root = os.path.normpath(out_path)
+    store_dirs = [
+        d for d in state.committed_paths()
+        if os.path.normpath(d).startswith(root + os.sep)
+    ]
+
+    # ---- source-key uniqueness (the Delta/Iceberg loud contract) ----
+    null_key = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
+    )
+    agg = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("nd"),
+        F.sum(null_key.cast("int")).alias("nn"),
+    ).first()
+    n_updates, n_distinct = agg["n"], agg["nd"]
+    if agg["nn"]:
+        raise ValueError(
+            f"{agg['nn']} update rows have a NULL merge key on {key_cols} "
+            "— a null key can never match a target row (anti-join "
+            "semantics); filter or fill them first."
+        )
+    if n_updates != n_distinct:
+        raise ValueError(
+            f"{n_updates - n_distinct} update rows share a merge key on "
+            f"{key_cols} — MERGE requires source keys to be unique "
+            "(nondeterministic otherwise); pre-aggregate the updates."
+        )
+    if n_updates == 0:
+        return None
+
+    # ---- prune: which committed dirs can contain a matched key? ----
+    ranges = _dir_key_ranges(store_dirs, key_cols[0])
+    statless = [d for d, r in ranges.items() if r["min"] is None]
+    ranged = [(d, r["min"], r["max"]) for d, r in ranges.items() if r["min"] is not None]
+    affected = set(statless)
+    if ranged:
+        rdf = spark.createDataFrame(ranged, ["__dir", "__lo", "__hi"])
+        k = F.col(key_cols[0])
+        hits = (
+            updates.select(key_cols[0])
+            .join(
+                F.broadcast(rdf),
+                (k >= F.col("__lo")) & (k <= F.col("__hi")),
+                "inner",
+            )
+            .select("__dir")
+            .distinct()
+            .collect()
+        )
+        affected.update(r["__dir"] for r in hits)
+    affected_dirs = sorted(affected)
+    rows_before = sum(ranges[d]["rows"] for d in affected_dirs)
+
+    if not affected_dirs and when_matched == "delete":
+        return None  # nothing can match; nothing to rewrite
+
+    # ---- rewrite: anti-join survivors, union the upserts ----
+    upd_keys = updates.select(*key_cols)
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    frames = [
+        spark.read.option("basePath", d).parquet(d) for d in affected_dirs
+    ]
+    if frames:
+        target = reduce(lambda a, b: a.unionByName(b), frames)
+        if "date" in target.columns:  # the writer re-derives it
+            target = target.drop("date")
+        preserved = target.join(upd_keys, key_cols, "left_anti")
+    else:
+        preserved = None
+    if when_matched == "update":
+        new_df = updates if preserved is None else preserved.unionByName(updates)
+    else:
+        new_df = preserved
+
+    run_id = state.new_run_id()
+    new_dir = os.path.normpath(f"{out_path}/part-merge-{run_id}")
+    state.register_pending(new_dir)  # orphan GC must not race the write
+    write_partitioned_parquet(
+        new_df, new_dir, max_records_per_file=max_records_per_file
+    )
+    out_files = _list_parquet(new_dir)
+    out_stats = parquet_file_stats(out_files, pointer_col)
+    rows_after = sum(e["rows"] for e in out_stats.values())
+
+    if when_matched == "update":
+        matched = rows_before + n_updates - rows_after
+        metrics = {
+            "rows_updated": matched,
+            "rows_inserted": n_updates - matched,
+            "rows_deleted": 0,
+        }
+    else:
+        metrics = {
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_deleted": rows_before - rows_after,
+        }
+    metrics.update(
+        dirs_total=len(store_dirs),
+        dirs_rewritten=len(affected_dirs),
+        rows_preserved=rows_before - metrics["rows_updated"] - metrics["rows_deleted"],
+    )
+
+    state.commit(
+        f"__merge__.{connector_key}", run_id,
+        metrics={"merge": metrics},
+        data_paths=[new_dir],
+        file_stats=out_stats,
+        replaces=affected_dirs,
+        expected_version=base_version,  # snapshot-isolated CoW
+    )
+    return {"run_id": run_id, "new_dir": new_dir, "replaced": affected_dirs, **metrics}
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    state: RunState,
+    out_path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    **kwargs,
+) -> Optional[dict]:
+    """Key-targeted deletion from the committed store — the
+    right-to-be-forgotten path. Sugar for ``merge_into(...,
+    when_matched="delete")``: only the dirs whose key range can contain
+    a requested key are rewritten; the swap is one atomic conditional
+    commit."""
+    return merge_into(
+        spark, state, out_path, keys, key_cols,
+        when_matched="delete", **kwargs,
+    )

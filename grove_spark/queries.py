@@ -3031,3 +3031,106 @@ FROM documents
 
 QUERIES.update({"tokenize_ingest": q_tokenize_ingest})
 ORACLE.update({"tokenize_ingest": SQL_TOKENIZE_INGEST})
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO under the correctness gate
+    (operators/merge.py): two committed dirs with DISJOINT event_id
+    ranges, then one upsert batch that patches keys in the upper range
+    and inserts brand-new (negative) keys. The read-back must equal the
+    plain SQL merge (anti-join ∪ updates) value-for-value, and the
+    key-range pruning fact rides along as a checked flag: only the
+    overlapping dir may be rewritten."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.merge import merge_into
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.sources.scans import manifest_scan
+    from grove_spark.state.runstate import RunState
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"grove_merge_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    state = RunState(os.path.join(base, "state"))
+    out = os.path.join(base, "out")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.col("ts").alias("event_time"),
+        F.lit("logs").alias("descriptor"), F.lit("gate").alias("connector"),
+    )
+    # disjoint key ranges: [0, 500) and [500, max] — the pruning prey
+    for i, batch in enumerate([
+        ev.where(F.col("event_id") < 500),
+        ev.where(F.col("event_id") >= 500),
+    ]):
+        run_id = state.new_run_id()
+        d = os.path.join(out, f"part-{run_id}")
+        state.register_pending(d)
+        write_partitioned_parquet(batch.repartition(2), d)
+        state.commit(
+            "gate", run_id, pointer=f"batch{i}", data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+
+    updates = (
+        ev.where((F.col("event_id") % 7 == 0) & (F.col("event_id") >= 500))
+        .withColumn("event_type", F.lit("patched"))
+        .withColumn("user_id", F.col("user_id") + F.lit(1_000_000))
+    ).unionByName(
+        ev.where(F.col("event_id") % 11 == 3)
+        .withColumn("event_id", -(F.col("event_id") + F.lit(1)))
+        .withColumn("event_type", F.lit("inserted"))
+    )
+    res = merge_into(spark, state, out, updates, ["event_id"])
+
+    got = manifest_scan(spark, state, pointer_col="event_time")
+    agg = got.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("event_type") == "patched").cast("int"))
+        .cast("bigint").alias("n_patched"),
+        F.sum((F.col("event_type") == "inserted").cast("int"))
+        .cast("bigint").alias("n_inserted"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+        F.lit(int(0 < res["dirs_rewritten"] < res["dirs_total"]))
+        .cast("int").alias("pruned_strict_subset"),
+    )
+    row = agg.first()
+    result = spark.createDataFrame([row], agg.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+SQL_MERGE_UPSERT = """
+WITH upd AS (
+  SELECT event_id, 'patched' AS event_type, user_id + 1000000 AS user_id
+  FROM events WHERE event_id % 7 = 0 AND event_id >= 500
+  UNION ALL
+  SELECT -(event_id + 1), 'inserted', user_id
+  FROM events WHERE event_id % 11 = 3
+),
+merged AS (
+  SELECT event_id, event_type, user_id FROM events
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+  UNION ALL
+  SELECT event_id, event_type, user_id FROM upd
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'patched' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_patched,
+       CAST(sum(CASE WHEN event_type = 'inserted' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       CAST(1 AS INT) AS pruned_strict_subset
+FROM merged
+"""
+
+
+QUERIES.update({"merge_upsert": q_merge_upsert})
+ORACLE.update({"merge_upsert": SQL_MERGE_UPSERT})
