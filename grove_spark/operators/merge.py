@@ -98,6 +98,7 @@ def merge_into(
     connector_key: str = "fleet",
     broadcast_updates: bool = True,
     max_records_per_file: int = 1_000_000,
+    run_id: Optional[str] = None,
 ) -> Optional[dict]:
     """Copy-on-write MERGE of ``updates`` into the committed store under
     ``out_path``. See the module docstring for the full contract.
@@ -107,6 +108,11 @@ def merge_into(
     update frame must carry the full store schema). ``"delete"``
     removes matched rows; the update frame only needs ``key_cols``.
     Returns the merge metrics dict, or None for a no-op delete.
+
+    ``run_id`` pins the commit's identity — streaming callers pass a
+    deterministic per-epoch id so a replayed micro-batch can be
+    recognized via ``state.is_committed`` (streaming/stream.py
+    merge_sink); batch callers leave it None for a fresh id.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
@@ -194,7 +200,7 @@ def merge_into(
     else:
         new_df = preserved
 
-    run_id = state.new_run_id()
+    run_id = run_id or state.new_run_id()
     new_dir = os.path.normpath(f"{out_path}/part-merge-{run_id}")
     state.register_pending(new_dir)  # orphan GC must not race the write
     write_partitioned_parquet(

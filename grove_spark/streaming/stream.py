@@ -122,6 +122,63 @@ def manifest_sink(state, out_path: str, key: str = "stream.default"):
     return submit
 
 
+def merge_sink(
+    state,
+    out_path: str,
+    key_cols,
+    key: str = "stream.merge",
+    when_matched: str = "update",
+    latest_by: Optional[str] = None,
+    **merge_kwargs,
+):
+    """foreachBatch sink that CoW-MERGES each micro-batch into the
+    committed store (operators/merge.py) — the streaming half of the
+    correction/supersession story: a stream of re-delivered rows keeps
+    the store converged instead of appending duplicates.
+
+    Exactly-once the same two ways as manifest_sink: a replayed epoch's
+    deterministic run id is recognized up front (is_committed), and a
+    crash between the rewrite and the manifest publish leaves an orphan
+    dir readers never see. A retried batch re-merges against the FRESH
+    snapshot (merge_into re-reads the version), so at-least-once
+    execution still lands exactly-once effect. A concurrent
+    non-streaming committer mid-merge surfaces as ConcurrentCommitError
+    and fails the batch loudly — Spark's retry then re-merges on the
+    new snapshot.
+
+    ``latest_by`` resolves intra-batch key collisions BEFORE the merge
+    (merge_into requires unique source keys): keep each key's row with
+    the greatest value of that column (one ``max_by`` aggregate —
+    map-side combined, shuffles one row per distinct key). Without it,
+    a batch carrying two rows for one key fails with the loud
+    duplicate-key contract."""
+    from pyspark.sql import functions as F  # noqa: F811 (executor pickle)
+
+    from grove_spark.operators.merge import merge_into
+
+    key_cols = list(key_cols)
+
+    def submit(df: DataFrame, epoch_id: int) -> None:
+        run_id = f"{key}-b{epoch_id}"
+        if state.is_committed(run_id):
+            return  # replayed batch: effect already published
+        if latest_by is not None:
+            others = [c for c in df.columns if c not in key_cols]
+            packed = df.groupBy(*key_cols).agg(
+                F.max_by(F.struct(*others), F.col(latest_by)).alias("__r")
+            )
+            df = packed.select(
+                *key_cols, *[F.col(f"__r.{c}").alias(c) for c in others]
+            )
+        merge_into(
+            df.sparkSession, state, out_path, df, key_cols,
+            when_matched=when_matched, connector_key=key,
+            run_id=run_id, **merge_kwargs,
+        )
+
+    return submit
+
+
 def start_to_parquet(
     routed: DataFrame,
     out_path: str,

@@ -208,3 +208,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("ss_join").count() == batch > 0
+
+def test_merge_sink_streaming_upsert(spark, tmp_path):
+    """Streaming CoW upsert (streaming/stream.py merge_sink): a stream
+    of corrections converges the committed store instead of appending
+    duplicates; intra-batch key collisions resolve via latest_by;
+    replayed epochs publish nothing twice."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+    from test_merge import SCHEMA, _rows, _store
+
+    from grove_spark.sources.scans import manifest_scan
+    from grove_spark.streaming.stream import merge_sink, start_to_parquet
+
+    state, out = _store(spark, tmp_path)  # 200 rows across 2 range dirs
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one batch: two corrections for key 150 (latest_by must keep the
+    # later), one for 160, one brand-new key 999
+    corrections = [
+        (150, "stale_patch", t0 + dt.timedelta(hours=1), "logs", "gate"),
+        (150, "fresh_patch", t0 + dt.timedelta(hours=2), "logs", "gate"),
+        (160, "patched", t0, "logs", "gate"),
+        (999, "inserted", t0, "logs", "gate"),
+    ]
+    spark.createDataFrame(corrections, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sink = merge_sink(
+        state, out, ["event_id"], key="stream.fix", latest_by="event_time"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_to_parquet(stream, out, ckpt, foreach_batch=sink)
+        q.awaitTermination(180)
+
+    run_once()
+    got = manifest_scan(spark, state, pointer_col="event_time")
+    assert got.count() == 201  # 200 - 2 replaced + 2 replacements + 1 insert
+    by_id = {
+        r["event_id"]: r["event_type"]
+        for r in got.where(F.col("event_id").isin(150, 160, 999)).collect()
+    }
+    assert by_id == {150: "fresh_patch", 160: "patched", 999: "inserted"}
+    n_versions = state.version()
+
+    # restart on the same checkpoint with no new data: nothing published
+    run_once()
+    assert state.version() == n_versions
+
+    # replayed epoch (crash after commit, before checkpoint advance):
+    # the deterministic run id short-circuits
+    sink(spark.createDataFrame(corrections, SCHEMA), 0)
+    assert state.version() == n_versions
+
+    # a second file = a new epoch: supersedes the earlier correction
+    spark.createDataFrame(
+        [(150, "final", t0 + dt.timedelta(hours=3), "logs", "gate")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = manifest_scan(spark, state, pointer_col="event_time")
+    assert got.count() == 201
+    assert got.where(F.col("event_id") == 150).first()["event_type"] == "final"
