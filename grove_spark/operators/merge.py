@@ -99,6 +99,8 @@ def merge_into(
     broadcast_updates: bool = True,
     max_records_per_file: int = 1_000_000,
     run_id: Optional[str] = None,
+    bloom_fpr: Optional[float] = None,
+    bloom_probe_max_keys: int = 2_000_000,
 ) -> Optional[dict]:
     """Copy-on-write MERGE of ``updates`` into the committed store under
     ``out_path``. See the module docstring for the full contract.
@@ -113,6 +115,16 @@ def merge_into(
     deterministic per-epoch id so a replayed micro-batch can be
     recognized via ``state.is_committed`` (streaming/stream.py
     merge_sink); batch callers leave it None for a fresh id.
+
+    Bloom pruning (sources/bloom.py): dirs that survive range pruning
+    but carry a ``_key_bloom_<col>.bin`` sidecar are point-probed with
+    the update keys' hashes — the pruner for stores NOT clustered by
+    the merge key, where every dir's range spans the domain. The probe
+    collects one (h1, h2) pair per distinct update key, so it is
+    skipped (with the dirs kept) past ``bloom_probe_max_keys``.
+    ``bloom_fpr`` builds the sidecar on the REWRITTEN dir; when None,
+    a sidecar is still rebuilt if any replaced dir had one (the store's
+    bloom coverage never silently decays through a merge).
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
@@ -175,6 +187,21 @@ def merge_into(
             .collect()
         )
         affected.update(r["__dir"] for r in hits)
+
+    # ---- bloom refinement: point-probe dirs that ranges kept ----
+    if affected and n_updates <= bloom_probe_max_keys:
+        from grove_spark.sources.bloom import _hash_cols, load_bloom, probe_dirs
+
+        cand = sorted(affected)
+        if any(load_bloom(d, key_cols[0]) is not None for d in cand):
+            hashed = (
+                updates.select(*_hash_cols(key_cols[0])).distinct().toPandas()
+            )
+            verdict = probe_dirs(
+                cand, key_cols[0],
+                hashed["__h1"].to_numpy(), hashed["__h2"].to_numpy(),
+            )
+            affected = {d for d in cand if verdict[d]}
     affected_dirs = sorted(affected)
     rows_before = sum(ranges[d]["rows"] for d in affected_dirs)
 
@@ -210,6 +237,20 @@ def merge_into(
     out_stats = parquet_file_stats(out_files, pointer_col)
     rows_after = sum(e["rows"] for e in out_stats.values())
 
+    # bloom coverage never silently decays: rebuild the sidecar when
+    # asked, or when any replaced dir carried one
+    bloom_built = None
+    if out_files:
+        from grove_spark.sources.bloom import build_key_bloom, load_bloom
+
+        want = bloom_fpr is not None or any(
+            load_bloom(d, key_cols[0]) is not None for d in affected_dirs
+        )
+        if want:
+            bloom_built = build_key_bloom(
+                spark, new_dir, key_cols[0], fpr=bloom_fpr or 0.01
+            )
+
     if when_matched == "update":
         matched = rows_before + n_updates - rows_after
         metrics = {
@@ -227,6 +268,7 @@ def merge_into(
         dirs_total=len(store_dirs),
         dirs_rewritten=len(affected_dirs),
         rows_preserved=rows_before - metrics["rows_updated"] - metrics["rows_deleted"],
+        bloom_sidecar=bool(bloom_built),
     )
 
     state.commit(
