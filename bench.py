@@ -488,6 +488,91 @@ def decon_redact_scale_run(spark, docs_path: str) -> dict:
     }
 
 
+def merge_scale_run(spark, n_rows: int, n_dirs: int = 8) -> dict:
+    """CoW MERGE INTO at store scale (r5): a range-clustered store of
+    ``n_dirs`` committed dirs with bloom sidecars, hit by a dim-sized
+    correction batch clustered in TWO dirs and a delete batch clustered
+    in ONE. The pruning counts are asserted, not just reported — the
+    merge cost model (rewrite O(matched dirs), not the lake) is the
+    number this leg exists to witness."""
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.merge import delete_by_keys, merge_into
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.bloom import build_key_bloom
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.state.runstate import RunState
+
+    base = tempfile.mkdtemp(prefix="grove_mergebench_")
+    state = RunState(os.path.join(base, "state"))
+    out = os.path.join(base, "out")
+    per = n_rows // n_dirs
+
+    def rows(expr_id, typ):
+        return expr_id.selectExpr(
+            "id AS event_id", f"'{typ}' AS event_type",
+            "timestamp_micros(1704067200000000 + id * 1000000) AS event_time",
+            "'logs' AS descriptor", "'bench' AS connector",
+        )
+
+    t0 = time.time()
+    for i in range(n_dirs):
+        df = rows(spark.range(i * per, (i + 1) * per), "base")
+        rid = state.new_run_id()
+        d = os.path.join(out, f"part-{rid}")
+        state.register_pending(d)
+        write_partitioned_parquet(df.repartition(4), d)
+        build_key_bloom(spark, d, "event_id", fpr=1e-6)
+        state.commit(
+            "bench", rid, pointer=str(i), data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+    build_wall = time.time() - t0
+
+    # corrections: 1000 keys clustered in dirs 1 and 5, plus 100 inserts
+    upd = (
+        rows(spark.range(0, 500).selectExpr(f"id * 2 + {per} AS id"), "patched")
+        .unionByName(rows(
+            spark.range(0, 500).selectExpr(f"id * 2 + {per * 5} AS id"),
+            "patched"))
+        .unionByName(rows(
+            spark.range(0, 100).selectExpr(f"id + {2 * n_rows} AS id"),
+            "inserted"))
+    )
+    t0 = time.time()
+    res = merge_into(spark, state, out, upd, ["event_id"])
+    upsert_wall = time.time() - t0
+    assert res["dirs_rewritten"] == 2 and res["rows_updated"] == 1000, res
+
+    # deletes: 500 keys clustered in dir 3 (blooms prune the rest)
+    dkeys = spark.range(0, 500).selectExpr(f"id * 2 + {per * 3} AS event_id")
+    t0 = time.time()
+    res2 = delete_by_keys(spark, state, out, dkeys, ["event_id"])
+    delete_wall = time.time() - t0
+    assert res2["dirs_rewritten"] == 1 and res2["rows_deleted"] == 500, res2
+
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "store_rows": n_rows,
+        "dirs_total": n_dirs,
+        "store_build_wall_s": round(build_wall, 3),
+        "upsert": {
+            "batch": 1100,
+            "dirs_rewritten": res["dirs_rewritten"],
+            "rows_updated": res["rows_updated"],
+            "rows_inserted": res["rows_inserted"],
+            "wall_s": round(upsert_wall, 3),
+        },
+        "delete": {
+            "batch": 500,
+            "dirs_rewritten": res2["dirs_rewritten"],
+            "rows_deleted": res2["rows_deleted"],
+            "wall_s": round(delete_wall, 3),
+        },
+    }
+
+
 def tokenizer_run(spark, docs_path: str) -> dict:
     """Text -> tokens front door: BPE train wall (one distributed piece
     count + bounded driver merge loop) and encode throughput (one Arrow
@@ -642,6 +727,7 @@ def main() -> None:
         spark, dedup_scale_docs, boiler_every=boiler_every
     )
     ann_scale_stats = ann_scale_run(spark, ann_vecs)
+    merge_scale_stats = merge_scale_run(spark, n_scale)
     decon_redact_stats = decon_redact_scale_run(spark, dedup_scale_docs)
 
     import __spark_entry__ as entrymod
@@ -691,6 +777,7 @@ def main() -> None:
                 "tokenizer": tokenizer_stats,
                 "dedup_scale": dedup_scale_stats,
                 "ann_scale": ann_scale_stats,
+                "merge_scale": merge_scale_stats,
                 "decon_redact_scale": decon_redact_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,

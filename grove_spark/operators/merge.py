@@ -247,8 +247,11 @@ def merge_into(
             load_bloom(d, key_cols[0]) is not None for d in affected_dirs
         )
         if want:
+            # default 1e-6: the dir-level probe asks "any of K keys
+            # here?", so per-key fpr must stay well under 1/K — see
+            # sources/bloom.py's sizing note
             bloom_built = build_key_bloom(
-                spark, new_dir, key_cols[0], fpr=bloom_fpr or 0.01
+                spark, new_dir, key_cols[0], fpr=bloom_fpr or 1e-6
             )
 
     if when_matched == "update":

@@ -29,6 +29,13 @@ independent of row count.
 Sizing uses the parquet-footer row total as n (an upper bound over
 distinct keys — a bloom sized for more keys than it holds only gets
 MORE accurate).
+
+Choosing ``fpr``: the dir-level question is "any of K probe keys in
+this dir?", whose false-positive rate is 1-(1-fpr)^K ≈ K·fpr — a batch
+of 1,000 keys against a 1% bloom false-hits almost every dir. Size for
+the probe batch you expect: fpr 1e-6 (≈3.6 bytes/key) keeps a 1,000-key
+batch's dir-level false-rewrite odds at ~0.1%. merge_into's automatic
+rebuilds default to 1e-6 for this reason.
 """
 
 from __future__ import annotations
