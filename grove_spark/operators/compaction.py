@@ -121,6 +121,23 @@ def compact_runs(
     out_files = _list_parquet(new_dir)
     out_stats = parquet_file_stats(out_files, pointer_col)
 
+    # bloom coverage never silently decays through a rewrite: any key
+    # column that had a sidecar on a replaced dir gets one on the
+    # compacted dir (same rule as merge_into's rebuild)
+    import glob as _glob
+    import re as _re
+
+    bloom_cols = sorted({
+        m.group(1)
+        for d in candidates
+        for f in _glob.glob(os.path.join(d, "_key_bloom_*.bin"))
+        if (m := _re.match(r"_key_bloom_(.+)\.bin$", os.path.basename(f)))
+    })
+    for col in bloom_cols:
+        from grove_spark.sources.bloom import build_key_bloom
+
+        build_key_bloom(spark, new_dir, col, fpr=1e-6)
+
     state.commit(
         f"__compaction__.{connector_key}", run_id,
         metrics={

@@ -3134,3 +3134,77 @@ FROM merged
 
 QUERIES.update({"merge_upsert": q_merge_upsert})
 ORACLE.update({"merge_upsert": SQL_MERGE_UPSERT})
+
+
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan under the correctness gate
+    (sources/scans.py incremental_append_scan): commit two batches,
+    checkpoint the manifest version between them, and read ONLY what
+    landed after the checkpoint — it must equal the plain predicate
+    that defines the second batch, and the window fact (exactly one
+    appended dir, no rewrites) rides along as checked flags."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.sources.scans import incremental_append_scan
+    from grove_spark.state.runstate import RunState
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"grove_incr_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    state = RunState(os.path.join(base, "state"))
+    out = os.path.join(base, "out")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").alias("event_time"),
+        F.lit("logs").alias("descriptor"), F.lit("gate").alias("connector"),
+    )
+    ckpt = None
+    for i, batch in enumerate([
+        ev.where(F.col("event_id") < 500),
+        ev.where(F.col("event_id") >= 500),
+    ]):
+        run_id = state.new_run_id()
+        d = os.path.join(out, f"part-{run_id}")
+        state.register_pending(d)
+        write_partitioned_parquet(batch.repartition(2), d)
+        state.commit(
+            "gate", run_id, pointer=f"batch{i}", data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+        if i == 0:
+            ckpt = state.version()  # the consumer's checkpoint integer
+
+    inc = incremental_append_scan(spark, state, since_version=ckpt)
+    info = inc._grove_incremental
+    agg = inc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.max(F.unix_micros(F.col("event_time").cast("timestamp"))).alias("max_ts_us"),
+        F.lit(int(len(info["appended"]) == 1)).cast("int").alias("one_dir_appended"),
+        F.lit(int(not info["compactions"] and not info["mutations"]))
+        .cast("int").alias("no_rewrites_in_window"),
+    )
+    row = agg.first()
+    result = spark.createDataFrame([row], agg.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+SQL_INCREMENTAL_READ = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       max(epoch_us(ts)) AS max_ts_us,
+       CAST(1 AS INT) AS one_dir_appended,
+       CAST(1 AS INT) AS no_rewrites_in_window
+FROM events
+WHERE event_id >= 500
+"""
+
+
+QUERIES.update({"incremental_read": q_incremental_read})
+ORACLE.update({"incremental_read": SQL_INCREMENTAL_READ})

@@ -21,6 +21,7 @@ Covered source shapes:
 from __future__ import annotations
 
 import datetime as dt
+import os as _os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -341,6 +342,70 @@ def manifest_scan(
             F.col(pointer_col) >= lo if inclusive else F.col(pointer_col) > lo
         )
     df._grove_prune = {"files_kept": len(kept), "files_total": total}  # type: ignore[attr-defined]
+    return df
+
+
+def incremental_append_scan(
+    spark: SparkSession,
+    state,
+    since_version: int,
+    as_of: Optional[int] = None,
+    ignore_mutations: bool = False,
+) -> DataFrame:
+    """Read ONLY the rows appended to a manifested store after
+    ``since_version`` — the Iceberg incremental append scan, i.e. the
+    "train on data I haven't consumed yet" primitive. The consumer's
+    checkpoint is one integer: read, process, store
+    ``df._grove_incremental["version"]``, repeat.
+
+    Compaction commits in the window are skipped silently (data-neutral:
+    same rows, new layout — their run ids ride along in the attached
+    info). MERGE commits are NOT expressible as appends (they change
+    history); they raise loudly unless ``ignore_mutations=True``, which
+    means "give me the appends, I accept that upserts/deletes in the
+    window are not reflected" — the same contract as Iceberg's
+    incremental read refusing replace snapshots.
+
+    An empty window returns an empty frame with the store's exact
+    schema (hive partition columns included), so downstream selects
+    never fork on emptiness."""
+    info = state.incremental_paths(since_version, as_of=as_of)
+    if info["mutations"] and not ignore_mutations:
+        raise ValueError(
+            f"versions ({since_version}, {info['version']}] contain "
+            f"history-changing merge commits {info['mutations']} — an "
+            "incremental append read cannot reflect upserts/deletes. "
+            "Re-read the store (manifest_scan) or pass "
+            "ignore_mutations=True to consume only the appends."
+        )
+    from functools import reduce
+
+    dirs = [d for d in info["appended"] if _os.path.isdir(d)]
+    missing = [d for d in info["appended"] if not _os.path.isdir(d)]
+    if missing:
+        raise ValueError(
+            f"appended dirs expired before they were consumed: {missing} "
+            "— retention (expire_runs) is the reader barrier; consume "
+            "incrementals before it reclaims replaced dirs."
+        )
+    if dirs:
+        frames = [
+            spark.read.option("basePath", d).parquet(d) for d in dirs
+        ]
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+    else:
+        base = state.committed_paths(as_of=as_of)
+        if not base:
+            raise ValueError("manifest has no committed data paths to scan")
+        frames = [
+            spark.read.option("basePath", p).parquet(p) for p in sorted(base)
+        ]
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        ).where(F.lit(False))
+    df._grove_incremental = info  # type: ignore[attr-defined]
     return df
 
 

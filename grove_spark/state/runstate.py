@@ -191,9 +191,18 @@ class RunState:
         version <= the root version are trusted — a crashed commit's
         run file is invisible until that version actually publishes.
         ``as_of`` caps the view at an older version (snapshot read)."""
+        return [r for _, r in self._run_records_versioned(root=root, as_of=as_of)]
+
+    def _run_records_versioned(
+        self, root: Optional[dict] = None, as_of: Optional[int] = None
+    ) -> List[tuple]:
+        """(version, record) pairs in commit order — the windowed view
+        incremental readers need. Only files whose version <= the root
+        version are trusted; ``as_of`` caps the view at an older
+        version (snapshot read)."""
         root = root or self._load_root()
         ceiling = root["version"] if as_of is None else min(as_of, root["version"])
-        out: List[dict] = []
+        out: List[tuple] = []
         for p in sorted(_glob.glob(os.path.join(self._runs_dir, "*.json"))):
             try:
                 v = int(os.path.splitext(os.path.basename(p))[0])
@@ -203,7 +212,7 @@ class RunState:
                 continue
             with open(p) as f:
                 out.extend((v, r) for r in json.load(f)["records"])
-        return [r for _, r in out]
+        return out
 
     def _load(self) -> dict:
         """Debug/compat view assembling the full state (the round-2
@@ -1036,6 +1045,55 @@ class RunState:
         for h in self._run_records(as_of=as_of):
             out.update(h.get("file_stats") or {})
         return out
+
+    def incremental_paths(
+        self, since_version: int, as_of: Optional[int] = None
+    ) -> dict:
+        """Iceberg incremental-append-scan analog: what landed in
+        versions (``since_version``, ``as_of``] — the contract a
+        downstream consumer ("train only on data I haven't seen") needs.
+
+        Returns ``{"appended": [...], "compactions": [...],
+        "mutations": [...], "version": ceiling}``:
+
+        * ``appended`` — data dirs published by APPEND commits in the
+          window, in commit order. Dirs a rewrite later replaced are
+          still listed: the bytes were new in the window, and replaced
+          dirs linger on disk until ``expire_runs`` (the reader
+          barrier) — consume incrementals before retention runs.
+        * ``compactions`` — run ids of data-NEUTRAL rewrites
+          (compact_runs) in the window; safe for an incremental
+          consumer to skip entirely (same rows, new layout).
+        * ``mutations`` — run ids of history-CHANGING rewrites
+          (merge_into upserts/deletes) in the window. An incremental
+          consumer cannot express these as appends; readers should
+          refuse or explicitly acknowledge them
+          (sources/scans.py incremental_append_scan).
+        """
+        records = self._run_records_versioned(as_of=as_of)
+        v_now = self.version()
+        ceiling = v_now if as_of is None else min(as_of, v_now)
+        appended: list = []
+        compactions: list = []
+        mutations: list = []
+        for v, rec in records:
+            if v <= since_version:
+                continue
+            if rec.get("replaces"):
+                metrics = rec.get("metrics") or {}
+                (mutations if "merge" in metrics else compactions).append(
+                    rec["run_id"]
+                )
+                continue
+            for p in rec.get("data_paths") or []:
+                if p not in appended:
+                    appended.append(p)
+        return {
+            "appended": appended,
+            "compactions": compactions,
+            "mutations": mutations,
+            "version": ceiling,
+        }
 
     def is_committed(self, run_id: str) -> bool:
         return any(h["run_id"] == run_id for h in self._run_records())
