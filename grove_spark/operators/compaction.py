@@ -152,6 +152,7 @@ def compact_runs(
         data_paths=[new_dir],
         file_stats=out_stats,
         replaces=sorted(candidates),
+        rewrite_kind="compaction",  # data-neutral: incremental readers skip it
         expected_version=base_version,
     )
     return {

@@ -61,16 +61,21 @@ from pyspark.sql import functions as F
 from grove_spark.state.runstate import RunState
 
 
-def _dir_key_ranges(dirs: Sequence[str], key_col: str) -> dict:
+def _dir_key_ranges(dirs: Sequence[str], key_col: str, cache=None) -> dict:
     """{dir: {"min", "max", "rows"}} for the first merge-key column,
     from parquet footers only. A dir with any stat-less file maps to
-    min=max=None (must be treated as affected)."""
+    min=max=None (must be treated as affected). ``cache`` is a
+    FileStatsCache: footers of immutable files are then read ONCE per
+    store lifetime, not once per merge (the O(new-files) cost model)."""
     from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
 
     out = {}
     for d in dirs:
-        files = _list_parquet(d)
-        stats = parquet_file_stats(files, key_col) if files else {}
+        if cache is not None:
+            stats = cache.stats_for(d, key_col)
+        else:
+            files = _list_parquet(d)
+            stats = parquet_file_stats(files, key_col) if files else {}
         lo = hi = None
         rows = 0
         complete = True
@@ -101,6 +106,7 @@ def merge_into(
     run_id: Optional[str] = None,
     bloom_fpr: Optional[float] = None,
     bloom_probe_max_keys: int = 2_000_000,
+    stats_cache=None,
 ) -> Optional[dict]:
     """Copy-on-write MERGE of ``updates`` into the committed store under
     ``out_path``. See the module docstring for the full contract.
@@ -125,6 +131,24 @@ def merge_into(
     ``bloom_fpr`` builds the sidecar on the REWRITTEN dir; when None,
     a sidecar is still rebuilt if any replaced dir had one (the store's
     bloom coverage never silently decays through a merge).
+
+    Duplicate TARGET rows (re-delivered appends not yet deduped): every
+    target copy of a matched key is superseded by its single update row
+    — the merge CONVERGES the store. The accounting stays exact:
+    ``rows_updated`` counts matched update keys, ``rows_superseded``
+    the target rows removed, and ``duplicates_collapsed`` their
+    difference. (Delta/Iceberg instead fail on multiple target matches;
+    this store allows duplicate appends by design, so convergence is
+    the correct semantic here — documented deviation.)
+
+    ``stats_cache`` (sources/file_stats.FileStatsCache) makes the
+    range-pruning footer reads incremental across merges: immutable
+    files are read once per store lifetime, not once per call.
+
+    The updates frame is persisted for the duration of the call — it is
+    evaluated several times (uniqueness agg, pruning joins, the final
+    rewrite); a nondeterministic source would otherwise defeat the
+    uniqueness contract between evaluations.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
@@ -132,6 +156,27 @@ def merge_into(
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
 
+    # evaluated several times below (uniqueness agg, pruning joins,
+    # matched-key count, rewrite) — pin ONE evaluation; a caller-side
+    # persist is untouched (persist is idempotent, unpersist in finally)
+    updates = updates.persist()
+    try:
+        return _merge_run(
+            spark, state, out_path, updates, key_cols, when_matched,
+            pointer_col, connector_key, broadcast_updates,
+            max_records_per_file, run_id, bloom_fpr,
+            bloom_probe_max_keys, stats_cache,
+        )
+    finally:
+        updates.unpersist()
+
+
+def _merge_run(
+    spark, state, out_path, updates, key_cols, when_matched,
+    pointer_col, connector_key, broadcast_updates,
+    max_records_per_file, run_id, bloom_fpr,
+    bloom_probe_max_keys, stats_cache,
+) -> Optional[dict]:
     from grove_spark.operators.sinks import write_partitioned_parquet
     from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
 
@@ -168,7 +213,7 @@ def merge_into(
         return None
 
     # ---- prune: which committed dirs can contain a matched key? ----
-    ranges = _dir_key_ranges(store_dirs, key_cols[0])
+    ranges = _dir_key_ranges(store_dirs, key_cols[0], cache=stats_cache)
     statless = [d for d, r in ranges.items() if r["min"] is None]
     ranged = [(d, r["min"], r["max"]) for d, r in ranges.items() if r["min"] is not None]
     affected = set(statless)
@@ -194,8 +239,15 @@ def merge_into(
 
         cand = sorted(affected)
         if any(load_bloom(d, key_cols[0]) is not None for d in cand):
+            # xxhash64 is TYPE-sensitive (int 10 and bigint 10 hash
+            # differently): cast the probe keys to the STORE column's
+            # type so they hash exactly like the sidecar build did
+            ktype = spark.read.parquet(cand[0]).schema[key_cols[0]].dataType
             hashed = (
-                updates.select(*_hash_cols(key_cols[0])).distinct().toPandas()
+                updates.select(F.col(key_cols[0]).cast(ktype).alias(key_cols[0]))
+                .select(*_hash_cols(key_cols[0]))
+                .distinct()
+                .toPandas()
             )
             verdict = probe_dirs(
                 cand, key_cols[0],
@@ -215,10 +267,20 @@ def merge_into(
     frames = [
         spark.read.option("basePath", d).parquet(d) for d in affected_dirs
     ]
+    matched_keys = 0
     if frames:
         target = reduce(lambda a, b: a.unionByName(b), frames)
         if "date" in target.columns:  # the writer re-derives it
             target = target.drop("date")
+        if when_matched == "update":
+            # exact per-update-key accounting even when the store holds
+            # duplicate rows for a key (re-delivered appends): one
+            # broadcast semi-join count over the PRUNED dirs
+            matched_keys = (
+                updates.select(*key_cols)
+                .join(target.select(*key_cols), key_cols, "left_semi")
+                .count()
+            )
         preserved = target.join(upd_keys, key_cols, "left_anti")
     else:
         preserved = None
@@ -236,6 +298,19 @@ def merge_into(
     out_files = _list_parquet(new_dir)
     out_stats = parquet_file_stats(out_files, pointer_col)
     rows_after = sum(e["rows"] for e in out_stats.values())
+
+    if not out_files:
+        # a purge emptied every affected dir: publish the removal with
+        # NO data path — committing a parquet-less dir would poison
+        # every later basePath read (UNABLE_TO_INFER_SCHEMA) in merges
+        # and manifest scans
+        import shutil
+
+        shutil.rmtree(new_dir, ignore_errors=True)
+        state._clear_pending([new_dir])
+        data_paths, new_dir = [], None
+    else:
+        data_paths = [new_dir]
 
     # bloom coverage never silently decays: rebuild the sidecar when
     # asked, or when any replaced dir carried one
@@ -255,31 +330,38 @@ def merge_into(
             )
 
     if when_matched == "update":
-        matched = rows_before + n_updates - rows_after
+        preserved_rows = rows_after - n_updates
+        superseded = rows_before - preserved_rows
         metrics = {
-            "rows_updated": matched,
-            "rows_inserted": n_updates - matched,
+            "rows_updated": matched_keys,
+            "rows_inserted": n_updates - matched_keys,
+            "rows_superseded": superseded,
+            "duplicates_collapsed": superseded - matched_keys,
             "rows_deleted": 0,
+            "rows_preserved": preserved_rows,
         }
     else:
         metrics = {
             "rows_updated": 0,
             "rows_inserted": 0,
+            "rows_superseded": rows_before - rows_after,
+            "duplicates_collapsed": 0,
             "rows_deleted": rows_before - rows_after,
+            "rows_preserved": rows_after,
         }
     metrics.update(
         dirs_total=len(store_dirs),
         dirs_rewritten=len(affected_dirs),
-        rows_preserved=rows_before - metrics["rows_updated"] - metrics["rows_deleted"],
         bloom_sidecar=bool(bloom_built),
     )
 
     state.commit(
         f"__merge__.{connector_key}", run_id,
         metrics={"merge": metrics},
-        data_paths=[new_dir],
+        data_paths=data_paths,
         file_stats=out_stats,
         replaces=affected_dirs,
+        rewrite_kind="mutation",  # history changed: incremental readers must not skip
         expected_version=base_version,  # snapshot-isolated CoW
     )
     return {"run_id": run_id, "new_dir": new_dir, "replaced": affected_dirs, **metrics}

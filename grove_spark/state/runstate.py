@@ -415,6 +415,7 @@ class RunState:
         expected_version: Optional[int] = None,
         file_stats: Optional[Dict[str, dict]] = None,
         replaces: Optional[list] = None,
+        rewrite_kind: Optional[str] = None,
     ) -> None:
         """Atomically publish a run: data paths + pointer + dedup state +
         metrics in ONE root replace. The Iceberg analog is one snapshot
@@ -436,6 +437,7 @@ class RunState:
                     "data_paths": data_paths,
                     "file_stats": file_stats,
                     "replaces": replaces,
+                    "rewrite_kind": rewrite_kind,
                 }
             ],
             run_id,
@@ -532,12 +534,15 @@ class RunState:
                     # Iceberg data-file stats analog
                     rec["file_stats"] = u["file_stats"]
                 if u.get("replaces"):
-                    # a REWRITE record (compaction): the listed data
-                    # dirs are superseded by this record's data_paths —
-                    # readers stop seeing them the instant this commit
-                    # publishes (snapshot semantics), retention reclaims
-                    # them later
+                    # a REWRITE record (compaction/merge): the listed
+                    # data dirs are superseded by this record's
+                    # data_paths — readers stop seeing them the instant
+                    # this commit publishes (snapshot semantics),
+                    # retention reclaims them later. rewrite_kind tells
+                    # incremental readers whether the rewrite changed
+                    # history ("mutation") or only layout ("compaction")
                     rec["replaces"] = [os.path.normpath(p) for p in u["replaces"]]
+                    rec["rewrite_kind"] = u.get("rewrite_kind") or "unspecified"
                 records.append(rec)
                 committed_paths += u.get("data_paths") or []
             # conditional write FIRST: only the claim winner may touch
@@ -1070,9 +1075,15 @@ class RunState:
           refuse or explicitly acknowledge them
           (sources/scans.py incremental_append_scan).
         """
-        records = self._run_records_versioned(as_of=as_of)
-        v_now = self.version()
-        ceiling = v_now if as_of is None else min(as_of, v_now)
+        # ONE root load feeds both the record window and the returned
+        # checkpoint: reading the version separately would let a commit
+        # landing in between yield a checkpoint HIGHER than the records
+        # enumerated — the consumer would skip that commit's rows forever
+        root = self._load_root()
+        records = self._run_records_versioned(root=root, as_of=as_of)
+        ceiling = (
+            root["version"] if as_of is None else min(as_of, root["version"])
+        )
         appended: list = []
         compactions: list = []
         mutations: list = []
@@ -1080,8 +1091,12 @@ class RunState:
             if v <= since_version:
                 continue
             if rec.get("replaces"):
-                metrics = rec.get("metrics") or {}
-                (mutations if "merge" in metrics else compactions).append(
+                # explicit kind field on the record; anything else —
+                # including legacy records without one — is treated as
+                # history-changing (conservative: loud refusal over a
+                # silently skipped rewrite)
+                kind = rec.get("rewrite_kind")
+                (compactions if kind == "compaction" else mutations).append(
                     rec["run_id"]
                 )
                 continue

@@ -179,3 +179,75 @@ def test_merge_plan_is_python_free_and_broadcast(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_target_rows_converge_with_exact_accounting(spark, tmp_path):
+    """Re-delivered appends leave duplicate rows per key in the store;
+    a merge collapses every copy into the single update row and the
+    accounting distinguishes matched keys from superseded copies."""
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+
+    state = RunState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    # the same 100 keys appended TWICE (two run dirs)
+    for _ in range(2):
+        df = spark.createDataFrame(_rows(range(100)), SCHEMA)
+        rid = state.new_run_id()
+        d = os.path.join(out, f"part-{rid}")
+        state.register_pending(d)
+        write_partitioned_parquet(df, d)
+        state.commit("gate", rid, pointer="x", data_paths=[d],
+                     file_stats=parquet_file_stats(_list_parquet(d), "event_time"))
+    upd = spark.createDataFrame(_rows([7], typ="patched"), SCHEMA)
+    res = merge_into(spark, state, out, upd, ["event_id"])
+    assert res["rows_updated"] == 1          # one matched update key
+    assert res["rows_superseded"] == 2       # both target copies removed
+    assert res["duplicates_collapsed"] == 1
+    assert res["rows_inserted"] == 0         # never negative
+    got = _read_all(spark, state)
+    assert got.where(F.col("event_id") == 7).count() == 1
+    assert got.where(F.col("event_id") == 7).first()["event_type"] == "patched"
+
+
+def test_full_purge_delete_leaves_store_mergeable(spark, tmp_path):
+    """A delete that empties every affected dir must not publish a
+    parquet-less dir (it would poison later basePath reads); the store
+    stays readable and mergeable afterwards."""
+    state, out = _store(spark, tmp_path)
+    # purge the ENTIRE lower dir [0, 100)
+    keys = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    res = delete_by_keys(spark, state, out, keys, ["event_id"])
+    assert res["rows_deleted"] == 100 and res["new_dir"] is None
+    got = _read_all(spark, state)
+    assert got.count() == 100
+    # no parquet-less dir in the manifest
+    from grove_spark.sources.file_stats import _list_parquet
+    assert all(_list_parquet(d) for d in state.committed_paths())
+    # subsequent merges still work
+    upd = spark.createDataFrame(_rows([150], typ="patched"), SCHEMA)
+    res2 = merge_into(spark, state, out, upd, ["event_id"])
+    assert res2["rows_updated"] == 1
+    assert _read_all(spark, state).count() == 100
+
+
+def test_bloom_probe_casts_probe_keys_to_store_type(spark, tmp_path):
+    """xxhash64 is type-sensitive: an int-typed delete-key frame against
+    a bigint store column must still hit the bloom (silent false
+    negatives would skip the delete entirely)."""
+    from grove_spark.sources.bloom import build_key_bloom
+
+    state, out = _store(spark, tmp_path)
+    for d in state.committed_paths():
+        build_key_bloom(spark, d, "event_id", fpr=1e-6)
+    keys = spark.createDataFrame([(42,)], "event_id int")  # int, store is long
+    res = delete_by_keys(spark, state, out, keys, ["event_id"])
+    assert res is not None and res["rows_deleted"] == 1, res
+    assert _read_all(spark, state).where(F.col("event_id") == 42).count() == 0
+
+
+def test_merge_commits_are_mutations_for_incremental_readers(spark, tmp_path):
+    state, out = _store(spark, tmp_path)
+    upd = spark.createDataFrame(_rows([150], typ="patched"), SCHEMA)
+    res = merge_into(spark, state, out, upd, ["event_id"])
+    rec = state.run_record(res["run_id"])
+    assert rec["rewrite_kind"] == "mutation"
