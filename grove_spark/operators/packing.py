@@ -73,6 +73,87 @@ def pack_sequences(
     )
 
 
+def global_token_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str = "doc_id",
+    length_col: str = "n_tok",
+    out: str = "shard",
+    n_parts: Optional[int] = None,
+) -> DataFrame:
+    """GLOBAL contiguous token-budget shard assignment — the training
+    export writer's unit ("files of ~N tokens") — WITHOUT the
+    single-task global window ``pack_sequences(by=())`` refuses.
+
+    ``shard = floor(global_token_offset / budget_tokens)`` where the
+    offset is the EXACT cumulative ``length_col`` over the total order
+    of ``order_col`` — computed as the classic two-pass distributed
+    prefix sum:
+
+    1. range-repartition by ``order_col`` (non-overlapping key ranges,
+       so partition order == key order);
+    2. per-partition local cumsum (parallel windows, one per range);
+    3. per-partition totals → driver prefix offsets (``n_parts``
+       scalars — the only driver data);
+    4. ``offset[pid] + local_cum − length`` is the exact global offset,
+       independent of where the sampled range boundaries fell.
+
+    The intermediate is persisted because steps 3 and 4 MUST read the
+    same physical partitioning — re-running the sampled range exchange
+    could place boundaries differently and desynchronize the pid→offset
+    map. The persisted handle rides on the result as
+    ``result._grove_persisted``; unpersist it when done (writers below
+    do).
+
+    Contract: a sequence STARTING in shard s stays in s, so each
+    shard's token total is ≤ budget + (longest sequence − 1) —
+    contiguous stream chunking, deterministic given ``order_col`` is a
+    total order.
+
+    Plan shape (verified): the range exchange, then the window's own
+    ENSURE_REQUIREMENTS hash exchange on ``__pid`` (Catalyst cannot
+    know the range placement already clustered it). Two O(data)
+    exchanges, zero single-task stages — the price of staying fully
+    JVM-side/spill-safe instead of an Arrow per-partition cumsum.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    length = F.coalesce(F.col(length_col).cast("long"), F.lit(0))
+    w = (
+        W.partitionBy("__pid").orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__cum", F.sum(length).over(w)).persist()
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.sum(length).alias("t")).collect()
+    }
+    if not totals:  # empty input: one empty shard column, same schema
+        result = local.withColumn(out, F.lit(0).cast("long")).drop("__pid", "__cum")
+        result._grove_persisted = local  # type: ignore[attr-defined]
+        return result
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    omap = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    result = local.withColumn(
+        out,
+        F.floor(
+            (omap[F.col("__pid")] + F.col("__cum") - length)
+            / F.lit(budget_tokens)
+        ),
+    ).drop("__pid", "__cum")
+    result._grove_persisted = local  # type: ignore[attr-defined]
+    return result
+
+
 def pack_stats(packed: DataFrame, by: Sequence[str] = ("source",), bin_col: str = "bin",
                length_col: str = "n_tok") -> DataFrame:
     """Per-bin packing telemetry: docs per bin + token fill."""

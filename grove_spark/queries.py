@@ -3208,3 +3208,46 @@ WHERE event_id >= 500
 
 QUERIES.update({"incremental_read": q_incremental_read})
 ORACLE.update({"incremental_read": SQL_INCREMENTAL_READ})
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget shard assignment (operators/packing.py
+    global_token_shards) under the oracle: the two-pass distributed
+    prefix sum over range partitions must equal DuckDB's single-stream
+    window cumsum EXACTLY — every (shard, n_docs, tok_sum) row, where a
+    shard is 4096 tokens of whitespace-token budget in doc_id order."""
+    from grove_spark.operators.packing import global_token_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    sharded = global_token_shards(docs, budget_tokens=4096)
+    agg = sharded.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_sum"),
+    )
+    rows = agg.collect()  # eager: unpersist the two-pass intermediate
+    sharded._grove_persisted.unpersist()
+    return spark.createDataFrame(rows, agg.schema)
+
+
+SQL_TOKEN_SHARDS = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tok) // 4096 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM c
+GROUP BY 1
+"""
+
+
+QUERIES.update({"token_shards": q_token_shards})
+ORACLE.update({"token_shards": SQL_TOKEN_SHARDS})

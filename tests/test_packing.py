@@ -144,3 +144,53 @@ def test_mixture_sample_zero_mass_source_contributes_nothing(spark):
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert "z" not in per and "n" not in per
     assert per["a"] > 0
+
+
+def test_global_token_shards_exact_and_partition_invariant(spark):
+    """The two-pass distributed prefix sum must equal the exact global
+    cumsum (single-stream reference) and be INVARIANT to how many range
+    partitions computed it — the property that makes it the scalable
+    replacement for the refused global window."""
+    from grove_spark.operators.packing import global_token_shards
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "CAST(id % 89 + 1 AS int) AS n_tok"
+    )
+    ref = None
+    for n_parts in (2, 7, 16):
+        res = global_token_shards(df, budget_tokens=3000, n_parts=n_parts)
+        pdf = res.orderBy("doc_id").toPandas()
+        res._grove_persisted.unpersist()
+        cum = pdf["n_tok"].cumsum() - pdf["n_tok"]
+        assert (pdf["shard"].to_numpy() == (cum // 3000).to_numpy()).all()
+        if ref is None:
+            ref = pdf["shard"].to_numpy()
+        else:
+            assert (pdf["shard"].to_numpy() == ref).all(), n_parts
+    # budget respected up to one straddling sequence
+    sums = pdf.groupby("shard")["n_tok"].sum()
+    assert sums.max() <= 3000 + 88
+    # rows preserved, no Python in the plan
+    assert len(pdf) == 5000
+    res = global_token_shards(df, budget_tokens=3000, n_parts=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    res._grove_persisted.unpersist()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_global_token_shards_nulls_and_empty(spark):
+    from grove_spark.operators.packing import global_token_shards
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 20)], "doc_id long, n_tok int"
+    )
+    res = global_token_shards(df, budget_tokens=15)
+    rows = {r["doc_id"]: r["shard"] for r in res.collect()}
+    res._grove_persisted.unpersist()
+    # null length counts as 0: doc 1 starts where doc 0 ended
+    assert rows == {0: 0, 1: 0, 2: 0}
+
+    empty = df.where("doc_id < 0")
+    res = global_token_shards(empty, budget_tokens=15)
+    assert res.count() == 0 and "shard" in res.columns
+    res._grove_persisted.unpersist()
