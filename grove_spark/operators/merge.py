@@ -235,10 +235,21 @@ def _merge_run(
 
     # ---- bloom refinement: point-probe dirs that ranges kept ----
     if affected and n_updates <= bloom_probe_max_keys:
-        from grove_spark.sources.bloom import _hash_cols, load_bloom, probe_dirs
+        from grove_spark.sources.bloom import (
+            _hash_cols,
+            load_bloom,
+            probe_dirs,
+            probe_dirs_distributed,
+        )
 
         cand = sorted(affected)
-        if any(load_bloom(d, key_cols[0]) is not None for d in cand):
+        # small sets: peek for sidecars first and skip the key-hash
+        # collect when there are none. Large sets: go straight to the
+        # distributed probe (it keeps sidecar-less dirs, and a driver
+        # peek over 100k dirs is the cost we're avoiding).
+        if len(cand) > 256 or any(
+            load_bloom(d, key_cols[0]) is not None for d in cand
+        ):
             # xxhash64 is TYPE-sensitive (int 10 and bigint 10 hash
             # differently): cast the probe keys to the STORE column's
             # type so they hash exactly like the sidecar build did
@@ -249,10 +260,14 @@ def _merge_run(
                 .distinct()
                 .toPandas()
             )
-            verdict = probe_dirs(
-                cand, key_cols[0],
-                hashed["__h1"].to_numpy(), hashed["__h2"].to_numpy(),
-            )
+            h1 = hashed["__h1"].to_numpy()
+            h2 = hashed["__h2"].to_numpy()
+            if len(cand) > 256:
+                # executor-side sidecar reads: the driver collects one
+                # boolean per dir instead of O(dirs x sidecar bytes)
+                verdict = probe_dirs_distributed(spark, cand, key_cols[0], h1, h2)
+            else:
+                verdict = probe_dirs(cand, key_cols[0], h1, h2)
             affected = {d for d in cand if verdict[d]}
     affected_dirs = sorted(affected)
     rows_before = sum(ranges[d]["rows"] for d in affected_dirs)

@@ -170,7 +170,11 @@ def probe_dirs(
 ) -> Dict[str, bool]:
     """{dir: can it contain ANY of the hashed keys}. Dirs without a
     sidecar map to True (conservative). h1/h2 must come from the SAME
-    Catalyst expressions the build used (_hash_cols)."""
+    Catalyst expressions the build used (_hash_cols).
+
+    Driver-serial: cost is O(dirs × sidecar bytes) of local reads —
+    right up to a few thousand dirs. Past that, use
+    ``probe_dirs_distributed``."""
     out: Dict[str, bool] = {}
     h1 = np.asarray(h1, dtype=np.int64).view(np.uint64)
     h2 = np.asarray(h2, dtype=np.int64).view(np.uint64)
@@ -182,3 +186,55 @@ def probe_dirs(
         bits, m, k = doc
         out[d] = bool(_test_bits(bits, h1, h2, m, k).any()) if len(h1) else False
     return out
+
+
+def probe_dirs_distributed(
+    spark,
+    dirs: List[str],
+    key_col: str,
+    h1: np.ndarray,
+    h2: np.ndarray,
+) -> Dict[str, bool]:
+    """Same answer as ``probe_dirs``, computed EXECUTOR-side: the dirs
+    list is parallelized and each task reads its dirs' sidecars from
+    shared storage, testing against the broadcast key hashes. This is
+    the 100k-dir path — the driver never opens a sidecar, it only
+    collects one boolean per dir. Requires executors to see the store
+    filesystem (the same assumption every scan in this engine makes)."""
+    import pandas as pd
+
+    sc = spark.sparkContext
+    bh = sc.broadcast((
+        np.asarray(h1, dtype=np.int64).view(np.uint64).tobytes(),
+        np.asarray(h2, dtype=np.int64).view(np.uint64).tobytes(),
+        key_col,
+    ))
+    n_slices = max(1, min(len(dirs), sc.defaultParallelism * 4))
+    dirs_df = spark.createDataFrame(
+        [(d,) for d in dirs], "dir string"
+    ).repartition(n_slices)
+
+    def probe(batches):
+        hb1, hb2, col = bh.value
+        ph1 = np.frombuffer(hb1, dtype=np.uint64)
+        ph2 = np.frombuffer(hb2, dtype=np.uint64)
+        for pdf in batches:
+            hits = []
+            for d in pdf["dir"]:
+                doc = load_bloom(d, col)
+                if doc is None:
+                    hits.append(True)  # conservative: keep the dir
+                    continue
+                bits, m, k = doc
+                hits.append(
+                    bool(_test_bits(bits, ph1, ph2, m, k).any())
+                    if len(ph1) else False
+                )
+            yield pd.DataFrame({"dir": pdf["dir"], "hit": hits})
+
+    rows = dirs_df.mapInPandas(probe, "dir string, hit boolean").collect()
+    try:
+        bh.unpersist()
+    except Exception:  # pragma: no cover - broadcast cleanup best-effort
+        pass
+    return {r["dir"]: bool(r["hit"]) for r in rows}

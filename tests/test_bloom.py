@@ -145,3 +145,36 @@ def test_probe_skipped_past_key_cap(spark, tmp_path):
         spark, state, out, keys, ["event_id"], bloom_probe_max_keys=1
     )
     assert res["dirs_rewritten"] == 2 and res["rows_deleted"] == 2
+
+
+def test_distributed_probe_matches_driver_probe(spark, tmp_path):
+    """probe_dirs_distributed must answer exactly like the driver-side
+    probe for every dir kind: bloomed-with-hits, bloomed-without-hits,
+    sidecar-less, corrupt sidecar."""
+    from grove_spark.sources.bloom import probe_dirs_distributed
+
+    dirs = []
+    for i in range(6):
+        d = str(tmp_path / f"d{i}")
+        spark.createDataFrame(
+            [(j,) for j in range(i * 100, i * 100 + 100)], "event_id long"
+        ).coalesce(1).write.parquet(d)
+        if i not in (2, 4):  # 2: no sidecar; 4: corrupt
+            build_key_bloom(spark, d, "event_id", fpr=1e-6)
+        dirs.append(d)
+    with open(bloom_sidecar_path(dirs[4], "event_id"), "wb") as f:
+        f.write(b"garbage")
+
+    probe_ids = [5, 305]  # hit d0 and d3 (plus conservative d2/d4)
+    pdf = (
+        spark.createDataFrame([(i,) for i in probe_ids], "event_id long")
+        .select(*_hash_cols("event_id"))
+        .toPandas()
+    )
+    h1, h2 = pdf["__h1"].to_numpy(), pdf["__h2"].to_numpy()
+    want = probe_dirs(dirs, "event_id", h1, h2)
+    got = probe_dirs_distributed(spark, dirs, "event_id", h1, h2)
+    assert got == want
+    assert got[dirs[0]] and got[dirs[3]]          # true hits
+    assert got[dirs[2]] and got[dirs[4]]          # conservative keeps
+    assert not got[dirs[1]] and not got[dirs[5]]  # bloom-pruned
