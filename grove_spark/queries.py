@@ -3251,3 +3251,85 @@ GROUP BY 1
 
 QUERIES.update({"token_shards": q_token_shards})
 ORACLE.update({"token_shards": SQL_TOKEN_SHARDS})
+
+
+def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read over the manifested store
+    (sources/manifest_stream.py): commit the events table as THREE
+    appends, open the store as a Structured Streaming source (offsets =
+    manifest versions, one input partition per parquet file, rows read
+    executor-side via Arrow), drain with availableNow into a memory
+    sink, and aggregate. One drain admits every committed row exactly
+    once, so the result must equal plain SQL over the same events —
+    including the `date` column, which never exists in any footer and
+    is reconstructed from the hive partition path by the reader."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.sources.manifest_stream import read_manifest_stream
+    from grove_spark.state.runstate import RunState
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"grove_mstream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    state = RunState(os.path.join(base, "state"))
+    out = os.path.join(base, "out")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").alias("event_time"),
+        F.lit("logs").alias("descriptor"), F.lit("gate").alias("connector"),
+    )
+    for i, batch in enumerate([
+        ev.where(F.col("event_id") < 300),
+        ev.where((F.col("event_id") >= 300) & (F.col("event_id") < 700)),
+        ev.where(F.col("event_id") >= 700),
+    ]):
+        run_id = state.new_run_id()
+        d = os.path.join(out, f"part-{run_id}")
+        state.register_pending(d)
+        write_partitioned_parquet(batch.repartition(2), d)
+        state.commit(
+            "gate", run_id, pointer=f"batch{i}", data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+
+    name = "stream_manifest_gate"
+    try:  # rerun-safe: the memory sink registers a temp view per run
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    stream = read_manifest_stream(spark, os.path.join(base, "state"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = spark.table(name).groupBy("event_type", F.col("date").alias("date_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+    rows = agg.collect()  # eager: the memory sink dies with the temp view
+    result = spark.createDataFrame(rows, agg.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+SQL_STREAM_MANIFEST = """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS date_s,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"stream_manifest": q_stream_manifest})
+ORACLE.update({"stream_manifest": SQL_STREAM_MANIFEST})

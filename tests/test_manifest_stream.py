@@ -1,0 +1,184 @@
+"""Streaming reads over the manifested store
+(sources/manifest_stream.py): manifest versions as streaming offsets,
+exactly-once across checkpoint restarts, the incremental-read rewrite
+contract (compactions skipped, mutations loud), and the version-cap
+pacing logic."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from grove_spark.operators.compaction import compact_runs
+from grove_spark.operators.merge import merge_into
+from grove_spark.sources.manifest_stream import (
+    _ManifestStreamReader,
+    read_manifest_stream,
+)
+from test_incremental import _append
+from test_merge import SCHEMA, _rows, _store
+
+TYPED = StructType(
+    list(SCHEMA.fields) + [StructField("date", DateType())]
+)
+
+
+def _drain(stream, name, checkpoint=None):
+    """availableNow drain to a memory sink; returns the sink table name."""
+    w = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return name
+
+
+def test_stream_matches_batch_and_types_partitions(spark, tmp_path):
+    state, out = _store(spark, tmp_path)  # 200 rows across 2 commits
+    stream = read_manifest_stream(spark, str(tmp_path / "state"), schema=TYPED)
+    t = spark.table(_drain(stream, "ms_full"))
+    assert t.count() == 200
+    assert dict(t.dtypes)["date"] == "date"  # explicit schema casts hive parts
+    # row-level parity with the batch read
+    from grove_spark.sources.scans import manifest_scan
+
+    batch = manifest_scan(spark, state, pointer_col="event_time")
+    assert (
+        t.select(*batch.columns).exceptAll(batch).count() == 0
+        and batch.exceptAll(t.select(*batch.columns)).count() == 0
+    )
+
+
+def test_checkpoint_restart_reads_only_new_commits(spark, tmp_path):
+    """Exactly-once across restarts with the fault-tolerant file sink:
+    the offset (manifest version) lives in the checkpoint; each restart
+    consumes only commits it hasn't seen."""
+    state, out = _store(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = read_manifest_stream(
+            spark, str(tmp_path / "state"), schema=TYPED
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    assert run_once().count() == 200
+
+    _append(spark, state, out, range(500, 560), typ="later")
+    t2 = run_once()
+    # run 2 appended exactly the 60 new rows — no replay of run 1's data
+    assert t2.count() == 260
+    assert t2.where(F.col("event_type") == "later").count() == 60
+    assert t2.select("event_id").distinct().count() == 260
+
+    # nothing new: a third run appends zero rows
+    assert run_once().count() == 260
+
+
+def test_compaction_in_window_not_double_read(spark, tmp_path):
+    state, out = _store(spark, tmp_path)
+    res = compact_runs(
+        spark, state, out, pointer_col="event_time", small_file_bytes=1 << 30
+    )
+    assert res is not None
+    stream = read_manifest_stream(spark, str(tmp_path / "state"), schema=TYPED)
+    t = spark.table(_drain(stream, "ms_compact"))
+    assert t.count() == 200  # original appends once; compacted copy skipped
+    assert t.select("event_id").distinct().count() == 200
+
+
+def test_mutation_fails_stream_unless_acknowledged(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    state, out = _store(spark, tmp_path)
+    upd = spark.createDataFrame(_rows([150], "patched"), SCHEMA)
+    merge_into(spark, state, out, upd, ["event_id"])
+    _append(spark, state, out, range(600, 650), typ="later")
+
+    stream = read_manifest_stream(spark, str(tmp_path / "state"), schema=TYPED)
+    with pytest.raises(StreamingQueryException, match="history-changing merge"):
+        _drain(stream, "ms_mut_loud")
+
+    ok = read_manifest_stream(
+        spark, str(tmp_path / "state"), schema=TYPED, ignore_mutations=True
+    )
+    t = spark.table(_drain(ok, "ms_mut_ack"))
+    # appends only: the two original commits + the 50 later rows; the
+    # merge's rewritten dirs are NOT replayed
+    assert t.count() == 250
+    assert t.where(F.col("event_type") == "patched").count() == 0
+
+
+def test_expired_append_is_loud(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    state, out = _store(spark, tmp_path)
+    d = _append(spark, state, out, range(700, 710))
+    shutil.rmtree(d)
+    stream = read_manifest_stream(spark, str(tmp_path / "state"), schema=TYPED)
+    with pytest.raises(StreamingQueryException, match="expired before the stream"):
+        _drain(stream, "ms_expired")
+
+
+def test_version_cap_paces_batches(spark, tmp_path):
+    """Reader-level unit test of the pacing contract: with
+    max_versions_per_batch=1 each latestOffset advances one manifest
+    version past the last planned batch, so a backlog replays in
+    bounded slices instead of one giant batch."""
+    state, out = _store(spark, tmp_path)  # versions 1..2 (two commits)
+    _append(spark, state, out, range(300, 310))  # version 3
+    r = _ManifestStreamReader(
+        TYPED,
+        {
+            "state_dir": str(tmp_path / "state"),
+            "max_versions_per_batch": "1",
+        },
+    )
+    start = r.initialOffset()
+    assert start == {"version": 0}
+    seen_files = []
+    versions = [0]
+    for _ in range(3):
+        end = r.latestOffset()
+        assert end["version"] == versions[-1] + 1  # capped: one at a time
+        parts = r.partitions({"version": versions[-1]}, end)
+        seen_files += [p.path for p in parts if p.path]
+        r.commit(end)
+        versions.append(end["version"])
+    assert r.latestOffset() == {"version": 3}  # drained: offset stable
+    # every committed file planned exactly once across the three slices
+    from grove_spark.sources.file_stats import _list_parquet
+
+    want = sorted(f for d in state.committed_paths() for f in _list_parquet(d))
+    assert sorted(seen_files) == want
+
+
+def test_derived_schema_defaults_partitions_to_string(spark, tmp_path):
+    state, out = _store(spark, tmp_path)
+    stream = read_manifest_stream(spark, str(tmp_path / "state"))
+    got = dict((f.name, f.dataType.simpleString()) for f in stream.schema.fields)
+    assert got["date"] == "string" and got["descriptor"] == "string"
+    assert got["event_id"] == "bigint" and got["event_time"] == "timestamp"
