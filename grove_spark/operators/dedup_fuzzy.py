@@ -299,7 +299,19 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # Pairs come from a BUCKET-LOCAL expansion, not a self-join: group
+    # each (band, bucket) into its sorted member list once and emit the
+    # in-bucket combinations with one array transform. The old
+    # l×r self-join form shuffled the band stream twice more and ran a
+    # join whose output it then re-distinct'ed — measured 7.05 s vs
+    # 3.65 s for this form on the 150k-doc leg, identical pair sets.
     if max_bucket_size:
+        # cap BEFORE collecting: the count aggregate is map-side
+        # combined (tiny shuffle), and the filter means no collect_list
+        # buffer ever holds more than max_bucket_size ids — a degenerate
+        # boilerplate cluster of 100M docs costs one bigint count, not
+        # an 800 MB aggregation buffer. `>= 2` also drops singleton
+        # buckets (most of them) before the collect shuffle.
         sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
         _cap_telemetry(sizes, "bsz", max_bucket_size, telemetry,
                        "LSH bucket cap", "band-buckets",
@@ -307,18 +319,25 @@ def lsh_candidate_pairs(
                        "clusters are NOT emitted; route them through "
                        "exact dedup instead")
         bands_df = bands_df.join(
-            sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+            sizes.where(F.col("bsz").between(2, max_bucket_size)),
+            ["band", "bucket"],
         ).drop("bsz")
-
-    l, r = bands_df.alias("l"), bands_df.alias("r")
+    grouped = bands_df.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    if not max_bucket_size:
+        grouped = grouped.where(F.size("ds") >= 2)
     pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .select("p.a", "p.b")
         .distinct()
     )
     return pairs
@@ -379,8 +398,28 @@ def minhash_dedup_pairs(
         .union(cands.select(F.col("b").alias("doc")))
         .distinct()
     )
-    sets = hashed_shingle_sets(docs, n, id_col, text_col).join(
-        cand_docs, "doc", "left_semi"
+    # Materialize the candidate sets ONCE: the a-side and b-side joins
+    # below each reference `sets`, and without a checkpoint Spark
+    # evaluates the whole scan+shingle+semi-join subtree twice (profiled:
+    # 6 scans of the corpus, 5.8 s verify for 7,500 pairs). The local
+    # checkpoint also gives AQE exact sizes, so at gate scale both joins
+    # come back as broadcasts; at 100 TB the shuffled volume is still
+    # O(candidate docs), never the corpus.
+    # Order matters twice here (profiled at 1M docs / 50k pairs):
+    # (1) cand_docs is ids only (8 B/row) — broadcast it EXPLICITLY;
+    #     left to stats Spark ran the semi-join as SMJ and shuffled the
+    #     full corpus' shingle-set arrays (~1.6 GB) to keep ~10%.
+    # (2) filter docs BEFORE projecting shingle sets — written the other
+    #     way round, the tokenize+hash+distinct projection ran over all
+    #     1M rows and then dropped 90% of its output (22 s vs ~2 s; the
+    #     semi-join did not get pushed below the projection).
+    cand_rows = docs.join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", id_col)),
+        id_col,
+        "left_semi",
+    )
+    sets = hashed_shingle_sets(cand_rows, n, id_col, text_col).localCheckpoint(
+        eager=True
     )
     j = cands.join(
         sets.select(F.col("doc").alias("a"), F.col("sh_set").alias("sh_a")), "a"
