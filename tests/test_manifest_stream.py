@@ -182,3 +182,87 @@ def test_derived_schema_defaults_partitions_to_string(spark, tmp_path):
     got = dict((f.name, f.dataType.simpleString()) for f in stream.schema.fields)
     assert got["date"] == "string" and got["descriptor"] == "string"
     assert got["event_id"] == "bigint" and got["event_time"] == "timestamp"
+
+
+def test_store_to_store_replication_exactly_once(spark, tmp_path):
+    """Composition: the streaming source tailing store A + manifest_sink
+    committing into store B = exactly-once store replication. Restarts
+    on BOTH sides are idempotent (source offset in the Spark checkpoint,
+    sink commits keyed by epoch id)."""
+    from grove_spark.sources.scans import manifest_scan
+    from grove_spark.state.runstate import RunState
+    from grove_spark.streaming.stream import manifest_sink
+
+    src_state, src_out = _store(spark, tmp_path)
+    dst_state = RunState(str(tmp_path / "dst_state"))
+    ckpt = str(tmp_path / "repl_ckpt")
+
+    def replicate():
+        stream = read_manifest_stream(
+            spark, str(tmp_path / "state"), schema=TYPED
+        ).drop("date")  # the sink re-derives date from event_time
+        q = (
+            stream.writeStream.foreachBatch(
+                manifest_sink(dst_state, str(tmp_path / "dst_out"), key="repl")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    replicate()
+    assert manifest_scan(spark, dst_state, pointer_col="event_time").count() == 200
+
+    _append(spark, src_state, src_out, range(900, 940), typ="later")
+    replicate()
+    got = manifest_scan(spark, dst_state, pointer_col="event_time")
+    want = manifest_scan(spark, src_state, pointer_col="event_time")
+    assert got.count() == 240
+    cols = want.columns
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    # a third pass replicates nothing new (no duplicate commits)
+    v = dst_state.version()
+    replicate()
+    assert dst_state.version() == v
+
+
+def test_schema_evolution_through_stream(spark, tmp_path):
+    """Old files predate a column; new files carry it. With the widened
+    declared schema, old files stream NULLs for the new column and new
+    files stream its values (the unionByName(allowMissingColumns)
+    behavior of the batch read, executor-side)."""
+    import datetime as dt
+
+    state, out = _store(spark, tmp_path)  # event_id 0..199, no 'score'
+    wide = StructType(list(SCHEMA.fields) + [StructField("score", LongType())])
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1000 + i, "scored", t0, "logs", "gate", i * 10) for i in range(5)],
+        wide,
+    )
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+
+    rid = state.new_run_id()
+    d = f"{out}/part-{rid}"
+    state.register_pending(d)
+    write_partitioned_parquet(df, d)
+    state.commit(
+        "gate", rid, pointer="scored", data_paths=[d],
+        file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+    )
+
+    widened = StructType(list(TYPED.fields) + [StructField("score", LongType())])
+    stream = read_manifest_stream(spark, str(tmp_path / "state"), schema=widened)
+    t = spark.table(_drain(stream, "ms_evolve"))
+    assert t.count() == 205
+    assert t.where(F.col("score").isNull()).count() == 200  # pre-evolution files
+    assert t.where(F.col("score") == 40).count() == 1
+
+    # reading with the NARROW schema still works: the new column is
+    # pruned at the footer, not a failure
+    narrow = read_manifest_stream(spark, str(tmp_path / "state"), schema=TYPED)
+    t2 = spark.table(_drain(narrow, "ms_evolve_narrow"))
+    assert t2.count() == 205 and "score" not in t2.columns
