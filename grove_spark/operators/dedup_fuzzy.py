@@ -313,6 +313,15 @@ def lsh_candidate_pairs(
         # an 800 MB aggregation buffer. `>= 2` also drops singleton
         # buckets (most of them) before the collect shuffle.
         sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        if telemetry is not None:
+            # the telemetry aggregate is EAGER, so without a persist the
+            # sizes groupBy runs twice (once here, once for the cap
+            # join) — one full extra pass over the band stream. The
+            # persisted frame rides out on the result as
+            # ``_grove_persisted_sizes`` so the caller can release it
+            # once the candidates materialize (minhash_dedup_pairs does,
+            # right after its eager checkpoint).
+            sizes = sizes.persist()
         _cap_telemetry(sizes, "bsz", max_bucket_size, telemetry,
                        "LSH bucket cap", "band-buckets",
                        "doc-band entries — pairs inside those degenerate "
@@ -340,6 +349,8 @@ def lsh_candidate_pairs(
         .select("p.a", "p.b")
         .distinct()
     )
+    if max_bucket_size and telemetry is not None:
+        pairs._grove_persisted_sizes = sizes  # type: ignore[attr-defined]
     return pairs
 
 
@@ -379,11 +390,15 @@ def minhash_dedup_pairs(
     # checkpoint's blocks are released by the ContextCleaner as soon as
     # the returned DataFrame is garbage-collected.
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
-    cands = lsh_candidate_pairs(
+    lazy_cands = lsh_candidate_pairs(
         sigs, bands, num_hashes // bands, id_col,
         max_bucket_size=max_bucket_size, telemetry=telemetry,
-    ).localCheckpoint(eager=True)
+    )
+    cands = lazy_cands.localCheckpoint(eager=True)
     sigs.unpersist()
+    psizes = getattr(lazy_cands, "_grove_persisted_sizes", None)
+    if psizes is not None:  # telemetry path: release the sizes cache
+        psizes.unpersist()
     if not verify:
         return cands
     # Verify sets are built as a PER-ROW projection of hashed shingles
