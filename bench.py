@@ -317,6 +317,87 @@ def ann_fixture(tag: str, n_vecs: int, dim: int = 64, n_clusters: int = 1024) ->
     return path
 
 
+def stream_scale_run(spark, n_rows: int, n_commits: int = 4) -> dict:
+    """Streaming-store drain throughput (r5): the manifest streaming
+    source (sources/manifest_stream.py) replaying a ``n_rows``-row
+    committed backlog through the Python DataSource path — pyarrow file
+    reads, hive partition reconstruction, Arrow transfer to the JVM —
+    measured against the JVM batch read of the same store for honest
+    context. The stream path exists for incremental tails with
+    exactly-once offsets, not bulk scans; this leg documents what that
+    costs instead of guessing."""
+    import shutil
+    import tempfile
+
+    from grove_spark.operators.sinks import write_partitioned_parquet
+    from grove_spark.sources.file_stats import _list_parquet, parquet_file_stats
+    from grove_spark.sources.manifest_stream import read_manifest_stream
+    from grove_spark.sources.scans import manifest_scan
+    from grove_spark.state.runstate import RunState
+
+    base = tempfile.mkdtemp(prefix="grove_streambench_")
+    state = RunState(os.path.join(base, "state"))
+    out = os.path.join(base, "out")
+    per = n_rows // n_commits
+    t0 = time.time()
+    for i in range(n_commits):
+        df = spark.range(i * per, (i + 1) * per).selectExpr(
+            "id AS event_id", "'base' AS event_type",
+            "timestamp_micros(1704067200000000 + id * 1000000) AS event_time",
+            "'logs' AS descriptor", "'bench' AS connector",
+        )
+        rid = state.new_run_id()
+        d = os.path.join(out, f"part-{rid}")
+        state.register_pending(d)
+        write_partitioned_parquet(df.repartition(4), d)
+        state.commit(
+            "bench", rid, pointer=str(i), data_paths=[d],
+            file_stats=parquet_file_stats(_list_parquet(d), "event_time"),
+        )
+    build_wall = time.time() - t0
+
+    t0 = time.time()
+    n_batch = manifest_scan(spark, state, pointer_col="event_time").count()
+    batch_wall = time.time() - t0
+
+    schema = manifest_scan(spark, state, pointer_col="event_time").schema
+
+    def drain(tag):
+        got = {"n": 0}
+
+        def count_batch(df, _):
+            got["n"] += df.count()
+
+        t0 = time.time()
+        q = (
+            read_manifest_stream(spark, os.path.join(base, "state"),
+                                 schema=schema)
+            .writeStream.foreachBatch(count_batch)
+            .option("checkpointLocation", os.path.join(base, f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.time() - t0, got["n"]
+
+    cold_wall, n_cold = drain("cold")
+    # warm drain reads a FRESH checkpoint (full replay, workers warm)
+    warm_wall, n_warm = drain("warm")
+    assert n_cold == n_rows and n_warm == n_rows, (n_cold, n_warm, n_rows)
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "commits": n_commits,
+        "store_build_wall_s": round(build_wall, 3),
+        "jvm_batch_read_wall_s": round(batch_wall, 3),
+        "jvm_batch_rows_per_sec": round(n_batch / batch_wall, 1),
+        "stream_drain_cold_wall_s": round(cold_wall, 3),
+        "stream_drain_warm_wall_s": round(warm_wall, 3),
+        "stream_rows_per_sec_warm": round(n_rows / warm_wall, 1),
+        "stream_vs_batch_slowdown": round(warm_wall / batch_wall, 2),
+    }
+
+
 def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
                   n_queries: int = 10, k: int = 10, n_probe: int = 8,
                   n_clusters: int = 1024) -> dict:
@@ -728,6 +809,7 @@ def main() -> None:
     )
     ann_scale_stats = ann_scale_run(spark, ann_vecs)
     merge_scale_stats = merge_scale_run(spark, n_scale)
+    stream_scale_stats = stream_scale_run(spark, n_scale)
     decon_redact_stats = decon_redact_scale_run(spark, dedup_scale_docs)
 
     import __spark_entry__ as entrymod
@@ -778,6 +860,7 @@ def main() -> None:
                 "dedup_scale": dedup_scale_stats,
                 "ann_scale": ann_scale_stats,
                 "merge_scale": merge_scale_stats,
+                "stream_scale": stream_scale_stats,
                 "decon_redact_scale": decon_redact_stats,
                 "scaling": {
                     "efficiency_2_to_8": eff_2_8,
