@@ -12,12 +12,14 @@ Spark-first implementations over a ``documents(doc_id, text, ...)`` table:
   random-hyperplane buckets for the scale path (see similarity.py)
 
 Scale notes: shingle explode multiplies rows by ~n_words; the LSH
-band-bucket groupBy shuffles only (band, bucket, doc_id) — never text.
-Candidate verification joins are self-joins on bucket, salted by AQE
-skew handling; `spark.sql.adaptive.skewJoin` covers hot buckets (e.g.
-boilerplate shingles), and huge buckets can be capped with
-``max_bucket_size`` (dropped + logged, like real dedup systems do for
-degenerate clusters).
+band-bucket stages shuffle only (band, bucket, doc_id) — never text.
+With ``max_bucket_size`` set (the default) candidate pairs come from a
+bucket-local expansion whose aggregation buffers are bounded by the cap
+(oversized buckets are dropped + logged BEFORE any list materializes,
+like real dedup systems do for degenerate clusters). With the cap
+disabled the self-join form is used instead: a degenerate bucket then
+costs quadratic ROWS (spread across tasks, AQE skew-join applies) but
+never a single quadratic in-row array.
 """
 
 from __future__ import annotations
@@ -277,7 +279,15 @@ def lsh_candidate_pairs(
     dict is filled with {buckets_total, buckets_dropped,
     entries_dropped} from one small eager aggregate over the band
     stream, and a dropped cap logs a warning. Default None adds zero
-    overhead/jobs."""
+    overhead/jobs.
+
+    Telemetry callers: the bucket-size frame is persisted for the call
+    (the eager telemetry read would otherwise recompute the whole band
+    stream a second time for the cap join) and handed back on the
+    result as ``_grove_persisted_sizes`` — unpersist it once your
+    candidates materialize. ``minhash_dedup_pairs`` does this for you;
+    only DIRECT callers of this function with ``telemetry`` set need to
+    release it."""
     bands_df = signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -299,12 +309,28 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # Pairs come from a BUCKET-LOCAL expansion, not a self-join: group
-    # each (band, bucket) into its sorted member list once and emit the
-    # in-bucket combinations with one array transform. The old
-    # l×r self-join form shuffled the band stream twice more and ran a
-    # join whose output it then re-distinct'ed — measured 7.05 s vs
+    # With a cap, pairs come from a BUCKET-LOCAL expansion, not a
+    # self-join: group each (band, bucket) into its sorted member list
+    # once and emit the in-bucket combinations with one array transform.
+    # The l×r self-join form shuffled the band stream twice more and ran
+    # a join whose output it then re-distinct'ed — measured 7.05 s vs
     # 3.65 s for this form on the 150k-doc leg, identical pair sets.
+    # WITHOUT a cap the expansion is unsafe (one uncapped degenerate
+    # bucket would materialize its quadratic pair set inside a single
+    # row — 2^31 array limit / executor OOM), so that path keeps the
+    # self-join, which produces the same pairs as distributed rows.
+    if not max_bucket_size:
+        l, r = bands_df.alias("l"), bands_df.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc") < F.col("r.doc")),
+            )
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct()
+        )
     if max_bucket_size:
         # cap BEFORE collecting: the count aggregate is map-side
         # combined (tiny shuffle), and the filter means no collect_list
@@ -331,11 +357,13 @@ def lsh_candidate_pairs(
             sizes.where(F.col("bsz").between(2, max_bucket_size)),
             ["band", "bucket"],
         ).drop("bsz")
+    # array_distinct: a doc id duplicated in the INPUT appears twice in
+    # its bucket; without the dedup the expansion would emit the
+    # self-pair (x, x), which the self-join's strict `l.doc < r.doc`
+    # never produced (and which verify would "confirm" at Jaccard 1.0).
     grouped = bands_df.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc")).alias("ds")
+        F.array_distinct(F.sort_array(F.collect_list("doc"))).alias("ds")
     )
-    if not max_bucket_size:
-        grouped = grouped.where(F.size("ds") >= 2)
     pairs = (
         grouped.select(
             F.explode(
@@ -394,11 +422,15 @@ def minhash_dedup_pairs(
         sigs, bands, num_hashes // bands, id_col,
         max_bucket_size=max_bucket_size, telemetry=telemetry,
     )
-    cands = lazy_cands.localCheckpoint(eager=True)
-    sigs.unpersist()
-    psizes = getattr(lazy_cands, "_grove_persisted_sizes", None)
-    if psizes is not None:  # telemetry path: release the sizes cache
-        psizes.unpersist()
+    try:
+        cands = lazy_cands.localCheckpoint(eager=True)
+    finally:
+        # both releases must survive a failed checkpoint (job cancel,
+        # executor loss) — a leaked persist pins storage for the session
+        sigs.unpersist()
+        psizes = getattr(lazy_cands, "_grove_persisted_sizes", None)
+        if psizes is not None:  # telemetry path: release the sizes cache
+            psizes.unpersist()
     if not verify:
         return cands
     # Verify sets are built as a PER-ROW projection of hashed shingles
@@ -421,18 +453,23 @@ def minhash_dedup_pairs(
     # come back as broadcasts; at 100 TB the shuffled volume is still
     # O(candidate docs), never the corpus.
     # Order matters twice here (profiled at 1M docs / 50k pairs):
-    # (1) cand_docs is ids only (8 B/row) — broadcast it EXPLICITLY;
+    # (1) cand_docs is ids only (8 B/row) — broadcast it when it fits;
     #     left to stats Spark ran the semi-join as SMJ and shuffled the
-    #     full corpus' shingle-set arrays (~1.6 GB) to keep ~10%.
+    #     full corpus' shingle-set arrays (~1.6 GB) to keep ~10%. The
+    #     hint is gated on the (already materialized, cheap-to-count)
+    #     candidate count: a forced broadcast has NO size fallback, so a
+    #     near-dup-saturated corpus whose candidate set rivals the
+    #     corpus would otherwise OOM the driver / hit the 8 GB
+    #     broadcast hard limit. Past the gate the plain semi-join lets
+    #     AQE pick the strategy — slower, but it completes.
     # (2) filter docs BEFORE projecting shingle sets — written the other
     #     way round, the tokenize+hash+distinct projection ran over all
     #     1M rows and then dropped 90% of its output (22 s vs ~2 s; the
     #     semi-join did not get pushed below the projection).
-    cand_rows = docs.join(
-        F.broadcast(cand_docs.withColumnRenamed("doc", id_col)),
-        id_col,
-        "left_semi",
-    )
+    ids = cand_docs.withColumnRenamed("doc", id_col)
+    if cands.count() <= 25_000_000:  # ≤ ~2·25M ids ≈ 400 MB broadcast ceiling
+        ids = F.broadcast(ids)
+    cand_rows = docs.join(ids, id_col, "left_semi")
     sets = hashed_shingle_sets(cand_rows, n, id_col, text_col).localCheckpoint(
         eager=True
     )

@@ -214,3 +214,37 @@ def test_containment_pairs_directional(spark):
     # and Jaccard at the same bar misses it (that's the point)
     j = ngram_jaccard_pairs(docs, threshold=0.9).collect()
     assert not [r for r in j if {r["a"], r["b"]} == {1, 2}]
+
+
+def test_duplicate_doc_ids_emit_no_self_pairs(spark):
+    """A doc id duplicated in the input lands twice in its buckets; the
+    bucket-local expansion must not emit (x, x) — the old self-join's
+    strict l.doc < r.doc never did (r5 review regression)."""
+    from grove_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+            for i in range(50)]
+    rows.append(rows[7])  # same id, same text — dirty upstream data
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert all(r["a"] != r["b"] for r in pairs)
+
+
+def test_uncapped_path_is_selfjoin_and_matches_capped(spark):
+    """max_bucket_size=0 must NOT use the in-row pair expansion (one
+    degenerate bucket would materialize its quadratic pair set inside a
+    single array); it keeps the distributed self-join and produces the
+    same pairs as a never-engaged cap."""
+    from grove_spark.operators.dedup_fuzzy import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    rows = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sigs = minhash_signatures(docs, 64, 3)
+    uncapped = lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=0)
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan  # expansion path not taken
+    capped = lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10_000)
+    assert uncapped.exceptAll(capped).count() == 0
+    assert capped.exceptAll(uncapped).count() == 0
