@@ -28,6 +28,13 @@ Partition-column typing: hive components (``descriptor`` / ``connector``
 / ``date``) ride in the file PATH, not the footer. With an explicit
 ``.schema(...)`` they are cast to the declared types; the derived
 default schema types them as strings (documented, deterministic).
+
+Trigger caveat: Spark's Python micro-batch sources do not support
+Trigger.AvailableNow — it falls back to "single batch execution" (one
+micro-batch per start). For one-shot complete drains (especially with
+``max_versions_per_batch`` set, which bounds what a single batch
+admits) use ``drain_manifest_stream``, which loops starts against one
+checkpoint until the committed offset reaches the store version.
 """
 
 from __future__ import annotations
@@ -127,7 +134,19 @@ class _ManifestStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = self._state().version()
-        if self.max_versions and self._floor is not None:
+        if self.max_versions:
+            if self._floor is None:
+                # Spark does NOT reliably call initialOffset() on this
+                # instance before the first latestOffset() (observed),
+                # and the first batch after a cold start is exactly the
+                # backlog the cap exists to bound — seed the floor from
+                # start_version rather than leaving batch 1 uncapped.
+                # After a checkpoint restart the real position may be
+                # ahead of start_version; partitions() re-learns it from
+                # the start offset Spark passes (one low batch replans
+                # an already-consumed empty window, then pacing resumes
+                # from the true position).
+                self._floor = self.start_version
             cur = min(cur, self._floor + self.max_versions)
         return {"version": cur}
 
@@ -135,7 +154,12 @@ class _ManifestStreamReader(DataSourceStreamReader):
         from grove_spark.sources.file_stats import _list_parquet
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._floor = hi  # pipeline: next latestOffset advances from here
+        # next latestOffset advances from here; max(lo, ...) re-learns
+        # the true position after a checkpoint restart whose offset is
+        # ahead of the seeded start_version floor
+        self._floor = max(lo, hi, self._floor or 0)
+        if hi <= lo:
+            return [_FileSlice("", [])]  # regressed/empty window
         info = self._state().incremental_paths(lo, as_of=hi)
         if info["mutations"] and not self.ignore_mutations:
             raise ValueError(
@@ -170,10 +194,13 @@ class _ManifestStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         part_vals = dict(partition.parts)
-        footer_cols = set(pq.read_schema(partition.path).names)
+        # ONE footer read per file (schema + row groups from the same
+        # ParquetFile) — on object storage a second read_schema would
+        # double the per-file metadata GETs across a backlog replay
+        pf = pq.ParquetFile(partition.path)
+        footer_cols = set(pf.schema_arrow.names)
         # column pruning: only footer columns the declared schema wants
         want = [f.name for f in target if f.name in footer_cols]
-        pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches(batch_size=1 << 16, columns=want):
             n = batch.num_rows
             cols = []
@@ -255,3 +282,75 @@ def read_manifest_stream(
     if schema is not None:
         r = r.schema(schema)
     return r.load()
+
+
+def _committed_version(checkpoint: str) -> Optional[int]:
+    """The manifest version of the last COMMITTED micro-batch in a
+    stream checkpoint (offsets file of the highest batch id present in
+    commits/), or None before any batch committed."""
+    import glob
+    import json
+
+    commits = [
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(checkpoint, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    if not commits:
+        return None
+    off = os.path.join(checkpoint, "offsets", str(max(commits)))
+    with open(off) as f:
+        last = f.read().strip().splitlines()[-1]
+    return int(json.loads(last)["version"])
+
+
+def drain_manifest_stream(
+    spark: SparkSession,
+    state_dir: str,
+    configure,
+    checkpoint: str,
+    schema: Optional[StructType] = None,
+    max_runs: int = 10_000,
+    **options,
+) -> dict:
+    """Drain the store COMPLETELY through repeated single-batch runs —
+    the reliable replacement for one ``availableNow`` start.
+
+    Spark's Python micro-batch sources do not support
+    Trigger.AvailableNow; it falls back to "single batch execution",
+    which (a) reads at most one micro-batch per start — so a
+    ``max_versions_per_batch`` cap would silently stop early — and
+    (b) after a crash between the offset-log write and the batch commit,
+    replays only the stale batch and exits cleanly with newer commits
+    unread. This helper loops starts against ONE checkpoint until the
+    checkpoint's committed offset reaches the manifest version observed
+    at entry, so every committed row is delivered exactly once no matter
+    how many crashes or how small the pacing cap.
+
+    ``configure(df) -> DataStreamWriter`` picks the sink/output mode;
+    the checkpoint location and trigger are owned here. Returns
+    {"runs": n, "version": v}.
+    """
+    from grove_spark.state.runstate import RunState
+
+    target = RunState(state_dir).version()
+    runs = 0
+    while True:
+        df = read_manifest_stream(spark, state_dir, schema=schema, **options)
+        q = (
+            configure(df)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        runs += 1
+        v = _committed_version(checkpoint) or 0
+        if v >= target:
+            return {"runs": runs, "version": v}
+        if runs >= max_runs:
+            raise RuntimeError(
+                f"drain did not reach manifest version {target} after "
+                f"{runs} runs (checkpoint at {v}) — is the store being "
+                "appended faster than the pacing cap admits?"
+            )

@@ -144,10 +144,11 @@ def test_expired_append_is_loud(spark, tmp_path):
 
 
 def test_version_cap_paces_batches(spark, tmp_path):
-    """Reader-level unit test of the pacing contract: with
-    max_versions_per_batch=1 each latestOffset advances one manifest
-    version past the last planned batch, so a backlog replays in
-    bounded slices instead of one giant batch."""
+    """Reader-level unit test of the pacing contract, driven in the
+    order REAL Spark uses — latestOffset first, with NO initialOffset
+    call (observed: Spark does not reliably invoke initialOffset on the
+    serving instance before planning; the r5 review caught the first
+    batch arriving uncapped because the floor was only seeded there)."""
     state, out = _store(spark, tmp_path)  # versions 1..2 (two commits)
     _append(spark, state, out, range(300, 310))  # version 3
     r = _ManifestStreamReader(
@@ -157,12 +158,10 @@ def test_version_cap_paces_batches(spark, tmp_path):
             "max_versions_per_batch": "1",
         },
     )
-    start = r.initialOffset()
-    assert start == {"version": 0}
     seen_files = []
     versions = [0]
     for _ in range(3):
-        end = r.latestOffset()
+        end = r.latestOffset()  # the FIRST batch must already be capped
         assert end["version"] == versions[-1] + 1  # capped: one at a time
         parts = r.partitions({"version": versions[-1]}, end)
         seen_files += [p.path for p in parts if p.path]
@@ -174,6 +173,71 @@ def test_version_cap_paces_batches(spark, tmp_path):
 
     want = sorted(f for d in state.committed_paths() for f in _list_parquet(d))
     assert sorted(seen_files) == want
+
+
+def test_version_cap_real_stream_batches(spark, tmp_path):
+    """INTEGRATION pacing check through a real micro-batch stream: three
+    commits, cap=1, processingTime trigger — Spark must deliver exactly
+    one version per batch (the r5 review proved the pre-fix cap was
+    inert in real execution; this test would have caught it)."""
+    import time
+
+    state, out = _store(spark, tmp_path)  # 2 commits x 100 rows
+    _append(spark, state, out, range(300, 400))  # 3rd commit, 100 rows
+    batches = []
+
+    def record(df, eid):
+        batches.append((eid, df.count()))
+
+    stream = read_manifest_stream(
+        spark, str(tmp_path / "state"), schema=TYPED,
+        max_versions_per_batch=1,
+    )
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ck_pace"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(n for _, n in batches) < 300:
+        time.sleep(1)
+    q.stop()
+    assert [n for _, n in batches[:3]] == [100, 100, 100], batches
+
+
+def test_drain_helper_completes_capped_backlog(spark, tmp_path):
+    """Python sources fall back to single-batch execution under
+    availableNow, so a pacing cap would silently stop a one-shot drain
+    early; drain_manifest_stream loops runs against one checkpoint until
+    the committed offset reaches the store version — and a later call
+    resumes with only the new commits."""
+    from grove_spark.sources.manifest_stream import drain_manifest_stream
+
+    state, out = _store(spark, tmp_path)  # versions 1..2
+    _append(spark, state, out, range(300, 350))  # version 3
+    sunk = []
+
+    def conf(df):
+        def sink(bdf, eid):
+            sunk.append(bdf.count())
+
+        return df.writeStream.foreachBatch(sink)
+
+    res = drain_manifest_stream(
+        spark, str(tmp_path / "state"), conf, str(tmp_path / "ck_drain"),
+        schema=TYPED, max_versions_per_batch=1,
+    )
+    assert res["runs"] == 3 and res["version"] == 3
+    assert sum(sunk) == 250 and sorted(sunk) == [50, 100, 100]
+
+    _append(spark, state, out, range(400, 420), typ="later")
+    res2 = drain_manifest_stream(
+        spark, str(tmp_path / "state"), conf, str(tmp_path / "ck_drain"),
+        schema=TYPED, max_versions_per_batch=1,
+    )
+    assert res2 == {"runs": 1, "version": 4}
+    assert sum(sunk) == 270  # exactly the 20 new rows, no replay
 
 
 def test_derived_schema_defaults_partitions_to_string(spark, tmp_path):
