@@ -208,15 +208,30 @@ def minhash_signatures(
     pre = docs.select(F.col(id_col), grams.alias("__grams")).where(
         F.size("__grams") > 0
     )
+    # Hash each gram STRING once, then derive the num_hashes-member
+    # family by re-hashing the fixed 8-byte bigint with each seed: the
+    # naive form ran xxhash64 over the full string num_hashes times per
+    # gram (~5× the hash bytes for 3-gram text). Hashing a hash is a
+    # standard MinHash family construction (datasketch does the same
+    # with a linear family); the banding curve is unchanged. __hs is
+    # materialized in its OWN projection — same CSE caveat as simhash:
+    # inlined, Catalyst would recompute the string hashes inside every
+    # min-walk (CollapseProject keeps non-cheap many-referenced
+    # expressions apart).
+    hs = pre.select(
+        id_col,
+        F.transform("__grams", lambda g: F.xxhash64(g)).alias("__hs"),
+    )
+
     def min_hash(i: int):
         # NB: the seed must be closed over OUTSIDE the lambda — a
         # two-parameter lambda (e.g. ``lambda g, i=i``) makes pyspark
         # pass the ARRAY INDEX as the second argument, silently
         # shadowing the seed
         seed = F.lit(i)
-        return F.array_min(F.transform("__grams", lambda g: F.xxhash64(g, seed)))
+        return F.array_min(F.transform("__hs", lambda h: F.xxhash64(h, seed)))
 
-    return pre.select(id_col, F.array(*[min_hash(i) for i in range(num_hashes)]).alias("sig"))
+    return hs.select(id_col, F.array(*[min_hash(i) for i in range(num_hashes)]).alias("sig"))
 
 
 def _cap_telemetry(
