@@ -204,3 +204,35 @@ def test_fleet_plan_hygiene(spark, loaded):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "In(source" in plan or "EqualTo(source" in plan  # pushed source filter
+
+
+def test_lsh_candidates_plan_shape(spark):
+    """Lock the shuffle-optimal candidate plan (r5): the collect_list
+    aggregate must sit DIRECTLY on the cap join's output — both share
+    the (band, bucket) partitioning, so an exchange between them means
+    a regression re-shuffling the 16M-row band stream; and the pair
+    expansion must be the in-bucket transform, not a band-stream
+    self-join."""
+    from grove_spark.operators.dedup_fuzzy import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f g h i{i}") for i in range(100)],
+        "doc_id: long, text: string",
+    )
+    sigs = minhash_signatures(docs, 64, 3)
+    pairs = lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=1000)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # find the final collect_list aggregate; walk down past its partial
+    # twin — the next plan node must be the join, NOT an Exchange
+    idx = [i for i, ln in enumerate(lines)
+           if "collect_list" in ln and "partial" not in ln]
+    assert idx, "collect_list aggregate missing — expansion path not taken"
+    below = "\n".join(lines[idx[0]:idx[0] + 3])
+    assert "partial_collect_list" in below, "map-side combine missing"
+    assert "Exchange" not in below, (
+        "exchange between the cap join and the collect aggregate — "
+        "partitioning reuse regressed:\n" + below
+    )
+    assert "BatchEvalPython" not in plan
