@@ -55,6 +55,8 @@ def write_ann_index(
     path: str,
     kind: str = "ivf",
     centroids: Optional[np.ndarray] = None,
+    codebooks: Optional[np.ndarray] = None,
+    keep_vectors: bool = False,
     n_planes: int = 8,
     seed: int = 7,
     layout: str = "partitioned",
@@ -71,6 +73,26 @@ def write_ann_index(
         if centroids is None:
             raise ValueError("kind='ivf' needs trained centroids")
         assigned = ivf_assign(emb, centroids, vec_col, out="cell")
+        cluster_col = "cell"
+    elif kind == "ivf_pq":
+        # IVF cells for plan-time pruning + PQ codes instead of vectors
+        # inside them: the index stores m uint8s per vector (32× smaller
+        # than 64-d float32), queried via LUT scoring (pq_adc_topk).
+        # keep_vectors=True retains the raw vector column for exact
+        # in-index re-rank; the 100-TB shape drops it and re-ranks
+        # against the source table if exact order matters.
+        if centroids is None:
+            raise ValueError("kind='ivf_pq' needs trained centroids")
+        if codebooks is None:
+            raise ValueError("kind='ivf_pq' needs trained PQ codebooks")
+        from grove_spark.operators.similarity import pq_encode
+
+        assigned = pq_encode(
+            ivf_assign(emb, centroids, vec_col, out="cell"),
+            codebooks, vec_col, out="code",
+        )
+        if not keep_vectors:
+            assigned = assigned.drop(vec_col)
         cluster_col = "cell"
     elif kind == "lsh":
         assigned = add_lsh_bucket(
@@ -109,6 +131,8 @@ def write_ann_index(
         "n_planes": n_planes,
         "seed": seed,
         "centroids": centroids.tolist() if centroids is not None else None,
+        "codebooks": codebooks.tolist() if codebooks is not None else None,
+        "keep_vectors": keep_vectors,
     }
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._w-")
     with os.fdopen(fd, "w") as f:
@@ -178,7 +202,7 @@ def ann_index_scan(
 
 def _probe_set(meta: dict, query_vec: List[float], n_probe: int,
                probe_hamming: int) -> List[int]:
-    if meta["kind"] == "ivf":
+    if meta["kind"] in ("ivf", "ivf_pq"):
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         q = np.asarray(query_vec, dtype=np.float64)
@@ -208,12 +232,44 @@ def ann_query(
     k: int = 10,
     n_probe: int = 4,
     probe_hamming: int = 1,
+    refine: int = 4,
 ) -> DataFrame:
     """The end-to-end indexed ANN query: stored quantizer -> probe set
-    -> pruned scan of probed cells only -> exact cosine top-k inside."""
+    -> pruned scan of probed cells only -> rank inside.
+
+    ivf / lsh: exact cosine over the stored vectors.
+    ivf_pq: LUT (asymmetric-distance) scoring over the m-byte codes —
+    the probed cells' VECTORS are never read (with keep_vectors=False
+    they do not even exist in the index). ``refine``·k ADC candidates
+    are taken; with keep_vectors=True they are exactly re-ranked
+    in-index (a bounded ``refine·k``-id lookup), otherwise the ADC
+    order itself is returned with approximate sims."""
     meta = read_ann_meta(path)
     probe = _probe_set(meta, query_vec, n_probe, probe_hamming)
     sub = ann_index_scan(spark, path, probe, meta)
-    out = brute_force_topk(sub, query_vec, k, meta["id_col"], meta["vec_col"])
+    if meta["kind"] == "ivf_pq":
+        from grove_spark.operators.similarity import pq_adc_topk
+
+        books = np.asarray(meta["codebooks"], dtype=np.float64)
+        n_cand = max(k, refine * k)
+        cands = pq_adc_topk(
+            sub, books, query_vec, n_cand, meta["id_col"], "code"
+        )
+        if meta.get("keep_vectors"):
+            ids = [r[0] for r in cands.select(meta["id_col"]).collect()]
+            out = brute_force_topk(
+                sub.where(F.col(meta["id_col"]).isin(ids)),
+                query_vec, k, meta["id_col"], meta["vec_col"],
+            )
+        else:
+            out = (
+                cands.withColumnRenamed("sim_pq", "sim")
+                .orderBy(F.desc("sim"), F.asc(meta["id_col"]))
+                .limit(k)
+            )
+    else:
+        out = brute_force_topk(
+            sub, query_vec, k, meta["id_col"], meta["vec_col"]
+        )
     out._grove_prune = sub._grove_prune  # type: ignore[attr-defined]
     return out

@@ -3333,3 +3333,49 @@ GROUP BY 1, 2
 
 QUERIES.update({"stream_manifest": q_stream_manifest})
 ORACLE.update({"stream_manifest": SQL_STREAM_MANIFEST})
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py pq_train/pq_encode/
+    pq_adc_topk + ann_index.py kind='ivf_pq'): the index stores an
+    m-byte PQ code per vector instead of the vector (the 32× footprint
+    cut that makes billion-vector scoring possible), queries score via
+    the asymmetric-distance LUT over the probed cells only, and the
+    refine-pool exact re-rank (keep_vectors=True here) restores exact
+    order. Gate contract mirrors ann_ivf_indexed: top-10 against the
+    brute-force truth with a recall floor of 8/10."""
+    import hashlib
+    import os
+    import tempfile
+
+    from grove_spark.operators.ann_index import ann_query, write_ann_index
+    from grove_spark.operators.similarity import ivf_train_centroids, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    books = pq_train(corpus, m=8, ksub=256)
+    cents = ivf_train_centroids(corpus, n_centroids=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"grove_ann_pq_{tag}")
+    write_ann_index(
+        corpus, path, kind="ivf_pq", centroids=cents, codebooks=books,
+        keep_vectors=True,
+    )
+    idx_ids = ann_query(
+        spark, path, qvec, k=10, n_probe=8, refine=16
+    ).select("vec_id")
+    brute_ids = q_ann_bruteforce(spark, sf_dir)
+    recall = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    joined = idx_ids.join(
+        brute_ids.withColumn("hit", F.lit(1)), "vec_id", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        (recall >= 8).cast("int").alias("recall_floor_ok"),
+    )
+
+
+QUERIES.update({"ann_pq": q_ann_pq})
+ORACLE.update({"ann_pq": SQL_ANN_IVF})

@@ -123,3 +123,89 @@ def test_empty_probe_set_is_schema_stable(spark, emb, tmp_path):
     sub = ann_index_scan(spark, path, [999])
     assert sub.count() == 0
     assert "embedding" in sub.columns and "bucket" in sub.columns
+
+
+def _pq_corpus(spark, n=6000, dim=64, n_clusters=32, seed=3):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = cents[np.arange(n) % n_clusters] + rng.normal(
+        scale=0.05, size=(n, dim)
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(vecs.astype(float))}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id: long, embedding: array<double>")
+    return emb.repartition(8).persist(), vecs
+
+
+def test_ivf_pq_index_drops_vectors_and_stores_codes(spark, tmp_path):
+    from grove_spark.operators.ann_index import read_ann_meta, write_ann_index
+    from grove_spark.operators.similarity import ivf_train_centroids, pq_train
+
+    emb, _ = _pq_corpus(spark)
+    books = pq_train(emb, m=8, ksub=256)
+    coarse = ivf_train_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "pqidx")
+    meta = write_ann_index(
+        emb, path, kind="ivf_pq", centroids=coarse, codebooks=books
+    )
+    df = spark.read.parquet(path)
+    assert "embedding" not in df.columns  # 32x footprint cut is REAL
+    assert dict(df.dtypes)["code"] == "binary"
+    row = df.select("code").first()
+    assert len(row["code"]) == 8  # m bytes per vector
+    stored = read_ann_meta(path)
+    import numpy as np
+
+    assert np.asarray(stored["codebooks"]).shape == (8, 256, 8)
+    emb.unpersist()
+
+
+def test_ivf_pq_exact_duplicate_ranks_first_without_vectors(spark, tmp_path):
+    """Identical vectors get identical codes, so the ADC-only path (no
+    vectors anywhere in the index) must rank a planted duplicate of the
+    query at the top."""
+    from grove_spark.operators.ann_index import ann_query, write_ann_index
+    from grove_spark.operators.similarity import ivf_train_centroids, pq_train
+
+    emb, vecs = _pq_corpus(spark)
+    books = pq_train(emb, m=8, ksub=256)
+    coarse = ivf_train_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "pqdup")
+    write_ann_index(
+        emb, path, kind="ivf_pq", centroids=coarse, codebooks=books
+    )
+    q = [float(x) for x in vecs[123]]  # vec 123 IS in the index
+    res = ann_query(spark, path, q, k=5, n_probe=4).collect()
+    assert res[0]["vec_id"] == 123
+    assert res[0]["sim"] > 0.9
+    emb.unpersist()
+
+
+def test_ivf_pq_rerank_recall_and_pruning(spark, tmp_path):
+    """keep_vectors=True: ADC narrows, exact cosine re-ranks — recall
+    1.0 at refine=16 even on tight clusters where raw ADC order is
+    noisy; and the probe still prunes cells at plan time."""
+    from grove_spark.operators.ann_index import ann_query, write_ann_index
+    from grove_spark.operators.similarity import (
+        brute_force_topk, ivf_train_centroids, pq_train)
+
+    emb, vecs = _pq_corpus(spark)
+    books = pq_train(emb, m=8, ksub=256)
+    coarse = ivf_train_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "pqrr")
+    write_ann_index(
+        emb, path, kind="ivf_pq", centroids=coarse, codebooks=books,
+        keep_vectors=True,
+    )
+    q = [float(x) for x in vecs[7]]
+    truth = {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
+    res = ann_query(spark, path, q, k=10, n_probe=4, refine=16)
+    got = {r["vec_id"] for r in res.collect()}
+    assert len(got & truth) == 10
+    assert res._grove_prune["files_kept"] < res._grove_prune["files_total"]
+    emb.unpersist()
