@@ -462,13 +462,69 @@ def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
         ]
         bf_walls.append(time.perf_counter() - t0)
         recalls.append(len(set(got) & set(truth)) / k)
+    # --- PQ variant over the SAME corpus and queries (r5): codes
+    # instead of vectors, ADC LUT scoring, refine-pool re-rank against
+    # the kept vectors; recall floor asserted like the flat index ---
+    from grove_spark.operators.similarity import pq_train
+
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=16, ksub=256, sample=4096, centroids=cents)
+    pq_train_s = time.perf_counter() - t0
+    pq_path = os.path.join(CACHE_ROOT, "_annscale_pq_index")
+    shutil.rmtree(pq_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_ann_index(emb, pq_path, kind="ivf_pq", centroids=cents,
+                    codebooks=books, keep_vectors=True,
+                    layout="partitioned")
+    pq_build_s = time.perf_counter() - t0
+    rng = np.random.RandomState(71)  # same query stream as the flat leg
+    pq_recalls, pq_walls = [], []
+    for qi in range(n_queries):
+        c = int(rng.randint(0, n_clusters))
+        q = (fcents[c] + 0.15 * rng.randn(dim).astype(np.float32)).tolist()
+        t0 = time.perf_counter()
+        ann = ann_query(spark, pq_path, q, k=k, n_probe=n_probe, refine=64)
+        got = [r["vec_id"] for r in ann.collect()]
+        pq_walls.append(time.perf_counter() - t0)
+        truth = [
+            r["vec_id"]
+            for r in brute_force_topk(spark.read.parquet(emb_path), q, k).collect()
+        ]
+        pq_recalls.append(len(set(got) & set(truth)) / k)
+    pq_recall = sum(pq_recalls) / len(pq_recalls)
+    assert pq_recall >= 0.9, (
+        f"IVF-PQ recall@{k} floor violated: {pq_recall:.3f} "
+        f"(per-query: {pq_recalls})"
+    )
+
+    def _tree_bytes(p):
+        tot = 0
+        for root, _, names in os.walk(p):
+            tot += sum(os.path.getsize(os.path.join(root, f))
+                       for f in names if f.endswith(".parquet"))
+        return tot
+
     emb.unpersist()
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.9, (
         f"ANN recall@{k} floor violated: {recall:.3f} "
         f"(per-query: {recalls})"
     )
+    pq_stats = {
+        "pq_m": 16, "pq_ksub": 256, "pq_refine": 64,
+        "pq_train_wall_s": round(pq_train_s, 3),
+        "pq_index_build_wall_s": round(pq_build_s, 3),
+        "pq_recall_at_k": round(pq_recall, 4),
+        "pq_recall_min": round(min(pq_recalls), 4),
+        "pq_query_wall_s_mean": round(sum(pq_walls) / len(pq_walls), 3),
+        # code-column footprint vs the flat index's vector column —
+        # measured on disk (parquet-compressed), with keep_vectors the
+        # code adds to the index; the 100-TB shape drops vectors
+        "flat_index_bytes": _tree_bytes(idx_path),
+        "pq_index_bytes_with_vectors": _tree_bytes(pq_path),
+    }
     return {
+        "pq": pq_stats,
         "vectors": n_vecs,
         "dim": dim,
         "n_cells": n_cells,

@@ -87,9 +87,14 @@ def write_ann_index(
             raise ValueError("kind='ivf_pq' needs trained PQ codebooks")
         from grove_spark.operators.similarity import pq_encode
 
+        # codes are RESIDUALS vs the cell centroid (canonical IVF-PQ):
+        # raw-vector codes spend their capacity on the global spread and
+        # intra-cell order drowns in quantization error (recall@10 0.23
+        # vs 1.0 measured on the 1M-vector leg)
         assigned = pq_encode(
             ivf_assign(emb, centroids, vec_col, out="cell"),
             codebooks, vec_col, out="code",
+            centroids=centroids, cell_col="cell",
         )
         if not keep_vectors:
             assigned = assigned.drop(vec_col)
@@ -251,9 +256,11 @@ def ann_query(
         from grove_spark.operators.similarity import pq_adc_topk
 
         books = np.asarray(meta["codebooks"], dtype=np.float64)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
         n_cand = max(k, refine * k)
         cands = pq_adc_topk(
-            sub, books, query_vec, n_cand, meta["id_col"], "code"
+            sub, books, query_vec, n_cand, meta["id_col"], "code",
+            centroids=cents, cell_col=meta["cluster_col"],
         )
         if meta.get("keep_vectors"):
             ids = [r[0] for r in cands.select(meta["id_col"]).collect()]

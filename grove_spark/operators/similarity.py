@@ -15,7 +15,7 @@
 from __future__ import annotations
 
 import math
-from typing import Iterable, List
+from typing import Iterable, List, Optional
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -247,6 +247,11 @@ def ivf_topk(
 # Product quantization (IVF-PQ) — the 100-TB memory path
 # ---------------------------------------------------------------------------
 
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 8,
@@ -255,6 +260,7 @@ def pq_train(
     sample: int = 4096,
     iters: int = 12,
     seed: int = 13,
+    centroids: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Train PQ codebooks: k-means per SUBSPACE on a driver-side sample
     (same bounded-collect contract as ivf_train_centroids — codebook
@@ -265,9 +271,20 @@ def pq_train(
     PQ code is then m uint8s — for a 64-d float32 vector that is
     256 B -> 8 B, the 32× footprint cut that makes billion-vector
     in-memory scoring possible (Jégou et al., the FAISS IVF-PQ shape).
-    """
+
+    With ``centroids`` (the IVF coarse quantizer) the codebooks are
+    trained on RESIDUALS ``x̂ − centroid[cell]`` — the canonical IVF-PQ
+    construction. Raw-vector codebooks spend their 256 codes per
+    subspace describing the GLOBAL spread, so intra-cell order drowns
+    in quantization error (measured recall@10 = 0.23 on the 1M-vector
+    leg); residual codebooks describe only the within-cell offset the
+    ranking actually needs."""
     rows = emb.select(vec_col).limit(sample).collect()
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = _normalize(x)
+    if centroids is not None:
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+        x = x - cents[(x @ cents.T).argmax(axis=1)]
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -298,12 +315,22 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out: str = "code",
+    centroids: Optional[np.ndarray] = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Encode every vector to its m-byte PQ code — one numpy distance
     matrix per (subspace, Arrow batch) inside mapInPandas, no per-row
-    Python. The code column is BINARY (m bytes)."""
+    Python. The code column is BINARY (m bytes). Vectors are unit-
+    normalized first (cosine metric throughout).
+
+    With ``centroids`` the RESIDUAL ``x̂ − centroid[cell]`` is encoded
+    (requires the ``cell_col`` from ivf_assign) — see pq_train."""
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
+    cents = (
+        _normalize(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None else None
+    )
     out_schema = T.StructType(
         list(emb.schema.fields) + [T.StructField(out, T.BinaryType())]
     )
@@ -313,6 +340,9 @@ def pq_encode(
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = _normalize(mat)
+            if cents is not None:
+                mat = mat - cents[pdf[cell_col].to_numpy()]
             codes = np.empty((len(mat), m), dtype=np.uint8)
             for j in range(m):
                 sub = mat[:, j * dsub:(j + 1) * dsub]
@@ -336,30 +366,49 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "code",
+    centroids: Optional[np.ndarray] = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: the query builds one
-    (m, ksub) lookup table, every code row scores with m table lookups —
-    the vectors themselves are never touched (they may not even be
-    stored). Cosine against the PQ RECONSTRUCTION: ip and ||x̃||² both
-    decompose over subspaces, so two LUT gathers per row suffice.
+    """Asymmetric-distance top-k over PQ codes: the query builds (m,
+    ksub) lookup tables, every code row scores with a handful of table
+    gathers — the vectors themselves are never touched (they may not
+    even be stored). Cosine against the PQ RECONSTRUCTION; with
+    ``centroids`` (residual codes) the reconstruction is
+    ``centroid[cell] + recon(residual)`` and the per-cell cross term
+    ``centroid·recon`` gets its own LUT, computed once per cell seen.
     Returns (id, sim_pq) — approximate sims; re-rank the top candidates
     against true vectors for exact order where it matters."""
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
+    cents = (
+        _normalize(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None else None
+    )
     lut_ip = np.stack(
         [books[j] @ qn[j * dsub:(j + 1) * dsub] for j in range(m)]
-    )  # (m, ksub)
-    lut_sq = (books ** 2).sum(axis=2)  # (m, ksub)
+    )  # (m, ksub): q̂ · recon, decomposed
+    lut_sq = (books ** 2).sum(axis=2)  # (m, ksub): ||recon||², decomposed
     rows_idx = np.arange(m)[:, None]
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("sim_pq", T.DoubleType()),
     ])
+    cols = [id_col, code_col] + ([cell_col] if cents is not None else [])
 
     def kernel(batches):
         import pandas as pd
+
+        cross_cache: dict = {}  # cell -> (m, ksub) centroid·recon LUT
+
+        def cross_lut(c: int) -> np.ndarray:
+            got = cross_cache.get(c)
+            if got is None:
+                got = cross_cache[c] = np.einsum(
+                    "jd,jkd->jk", cents[c].reshape(m, dsub), books
+                )
+            return got
 
         for pdf in batches:
             if not len(pdf):
@@ -369,13 +418,26 @@ def pq_adc_topk(
             ).reshape(-1, m)
             ip = lut_ip[rows_idx, codes.T].sum(axis=0)
             sq = lut_sq[rows_idx, codes.T].sum(axis=0)
-            sim = ip / np.sqrt(np.maximum(sq, 1e-12))
+            if cents is None:
+                sim = ip / np.sqrt(np.maximum(sq, 1e-12))
+            else:
+                cells = pdf[cell_col].to_numpy()
+                ip = ip.copy()
+                norm2 = sq.copy()
+                for c in np.unique(cells):
+                    mask = cells == c
+                    cross = cross_lut(int(c))[
+                        rows_idx, codes[mask].T
+                    ].sum(axis=0)
+                    ip[mask] += float(qn @ cents[c])
+                    norm2[mask] += 1.0 + 2.0 * cross  # ||cent||² == 1
+                sim = ip / np.sqrt(np.maximum(norm2, 1e-12))
             top = np.argsort(-sim)[:k]
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy()[top], "sim_pq": sim[top],
             })
 
-    partial = coded.select(id_col, code_col).mapInPandas(kernel, schema)
+    partial = coded.select(*cols).mapInPandas(kernel, schema)
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.desc("sim_pq"), F.asc(id_col))

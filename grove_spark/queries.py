@@ -3355,8 +3355,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.where(F.col("vec_id") != 0)
-    books = pq_train(corpus, m=8, ksub=256)
     cents = ivf_train_centroids(corpus, n_centroids=16)
+    books = pq_train(corpus, m=8, ksub=256, centroids=cents)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"grove_ann_pq_{tag}")
     write_ann_index(

@@ -147,8 +147,8 @@ def test_ivf_pq_index_drops_vectors_and_stores_codes(spark, tmp_path):
     from grove_spark.operators.similarity import ivf_train_centroids, pq_train
 
     emb, _ = _pq_corpus(spark)
-    books = pq_train(emb, m=8, ksub=256)
     coarse = ivf_train_centroids(emb, n_centroids=8)
+    books = pq_train(emb, m=8, ksub=256, centroids=coarse)
     path = str(tmp_path / "pqidx")
     meta = write_ann_index(
         emb, path, kind="ivf_pq", centroids=coarse, codebooks=books
@@ -173,8 +173,8 @@ def test_ivf_pq_exact_duplicate_ranks_first_without_vectors(spark, tmp_path):
     from grove_spark.operators.similarity import ivf_train_centroids, pq_train
 
     emb, vecs = _pq_corpus(spark)
-    books = pq_train(emb, m=8, ksub=256)
     coarse = ivf_train_centroids(emb, n_centroids=8)
+    books = pq_train(emb, m=8, ksub=256, centroids=coarse)
     path = str(tmp_path / "pqdup")
     write_ann_index(
         emb, path, kind="ivf_pq", centroids=coarse, codebooks=books
@@ -195,8 +195,8 @@ def test_ivf_pq_rerank_recall_and_pruning(spark, tmp_path):
         brute_force_topk, ivf_train_centroids, pq_train)
 
     emb, vecs = _pq_corpus(spark)
-    books = pq_train(emb, m=8, ksub=256)
     coarse = ivf_train_centroids(emb, n_centroids=8)
+    books = pq_train(emb, m=8, ksub=256, centroids=coarse)
     path = str(tmp_path / "pqrr")
     write_ann_index(
         emb, path, kind="ivf_pq", centroids=coarse, codebooks=books,
