@@ -441,7 +441,7 @@ def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
     # fcents row c is exactly the fixture's cluster-c centroid)
     rng = np.random.RandomState(71)
     fcents = np.random.RandomState(23).randn(n_clusters, dim).astype(np.float32)
-    recalls, q_walls, bf_walls = [], [], []
+    recalls, q_walls, bf_walls, truths = [], [], [], []
     files_kept = files_total = 0
     for qi in range(n_queries):
         c = int(rng.randint(0, n_clusters))
@@ -461,6 +461,7 @@ def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
             for r in brute_force_topk(spark.read.parquet(emb_path), q, k).collect()
         ]
         bf_walls.append(time.perf_counter() - t0)
+        truths.append(set(truth))
         recalls.append(len(set(got) & set(truth)) / k)
     # --- PQ variant over the SAME corpus and queries (r5): codes
     # instead of vectors, ADC LUT scoring, refine-pool re-rank against
@@ -486,11 +487,9 @@ def ann_scale_run(spark, emb_path: str, n_cells: int = 256,
         ann = ann_query(spark, pq_path, q, k=k, n_probe=n_probe, refine=64)
         got = [r["vec_id"] for r in ann.collect()]
         pq_walls.append(time.perf_counter() - t0)
-        truth = [
-            r["vec_id"]
-            for r in brute_force_topk(spark.read.parquet(emb_path), q, k).collect()
-        ]
-        pq_recalls.append(len(set(got) & set(truth)) / k)
+        # same RandomState(71) query stream as the flat leg -> reuse its
+        # ground truth instead of re-paying ~2 s of brute force per query
+        pq_recalls.append(len(set(got) & truths[qi]) / k)
     pq_recall = sum(pq_recalls) / len(pq_recalls)
     assert pq_recall >= 0.9, (
         f"IVF-PQ recall@{k} floor violated: {pq_recall:.3f} "

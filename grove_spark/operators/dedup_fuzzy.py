@@ -352,32 +352,32 @@ def lsh_candidate_pairs(
             .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
             .distinct()
         )
-    if max_bucket_size:
-        # cap BEFORE collecting: the count aggregate is map-side
-        # combined (tiny shuffle), and the filter means no collect_list
-        # buffer ever holds more than max_bucket_size ids — a degenerate
-        # boilerplate cluster of 100M docs costs one bigint count, not
-        # an 800 MB aggregation buffer. `>= 2` also drops singleton
-        # buckets (most of them) before the collect shuffle.
-        sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-        if telemetry is not None:
-            # the telemetry aggregate is EAGER, so without a persist the
-            # sizes groupBy runs twice (once here, once for the cap
-            # join) — one full extra pass over the band stream. The
-            # persisted frame rides out on the result as
-            # ``_grove_persisted_sizes`` so the caller can release it
-            # once the candidates materialize (minhash_dedup_pairs does,
-            # right after its eager checkpoint).
-            sizes = sizes.persist()
-        _cap_telemetry(sizes, "bsz", max_bucket_size, telemetry,
-                       "LSH bucket cap", "band-buckets",
-                       "doc-band entries — pairs inside those degenerate "
-                       "clusters are NOT emitted; route them through "
-                       "exact dedup instead")
-        bands_df = bands_df.join(
-            sizes.where(F.col("bsz").between(2, max_bucket_size)),
-            ["band", "bucket"],
-        ).drop("bsz")
+    # Everything below is the CAPPED path (the uncapped early return
+    # above is the only other flow). Cap BEFORE collecting: the count
+    # aggregate is map-side combined (tiny shuffle), and the filter
+    # means no collect_list buffer ever holds more than max_bucket_size
+    # ids — a degenerate boilerplate cluster of 100M docs costs one
+    # bigint count, not an 800 MB aggregation buffer. `>= 2` also drops
+    # singleton buckets (most of them) before the collect shuffle.
+    sizes = bands_df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    if telemetry is not None:
+        # the telemetry aggregate is EAGER, so without a persist the
+        # sizes groupBy runs twice (once here, once for the cap
+        # join) — one full extra pass over the band stream. The
+        # persisted frame rides out on the result as
+        # ``_grove_persisted_sizes`` so the caller can release it
+        # once the candidates materialize (minhash_dedup_pairs does,
+        # right after its eager checkpoint).
+        sizes = sizes.persist()
+    _cap_telemetry(sizes, "bsz", max_bucket_size, telemetry,
+                   "LSH bucket cap", "band-buckets",
+                   "doc-band entries — pairs inside those degenerate "
+                   "clusters are NOT emitted; route them through "
+                   "exact dedup instead")
+    bands_df = bands_df.join(
+        sizes.where(F.col("bsz").between(2, max_bucket_size)),
+        ["band", "bucket"],
+    ).drop("bsz")
     # array_distinct: a doc id duplicated in the INPUT appears twice in
     # its bucket; without the dedup the expansion would emit the
     # self-pair (x, x), which the self-join's strict `l.doc < r.doc`
@@ -398,7 +398,7 @@ def lsh_candidate_pairs(
         .select("p.a", "p.b")
         .distinct()
     )
-    if max_bucket_size and telemetry is not None:
+    if telemetry is not None:  # capped path is the only flow here
         pairs._grove_persisted_sizes = sizes  # type: ignore[attr-defined]
     return pairs
 

@@ -298,7 +298,11 @@ def pq_train(
         k_eff = min(ksub, len(np.unique(sub, axis=0)))
         cents = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin of ||s-c||² == argmin of (-2 s·c + ||c||²): the
+            # matmul form keeps temporaries at (sample, ksub) instead of
+            # the (sample, ksub, dsub) broadcast tensor — dsub× smaller,
+            # and fresh pages are expensive on this VM
+            d2 = -2.0 * (sub @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(k_eff):
                 members = sub[assign == c]
@@ -392,7 +396,9 @@ def pq_adc_topk(
     lut_sq = (books ** 2).sum(axis=2)  # (m, ksub): ||recon||², decomposed
     rows_idx = np.arange(m)[:, None]
     schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        # inherit the id type — hard-coding long would break string/int
+        # id columns that the ivf/lsh rank paths accept
+        T.StructField(id_col, coded.schema[id_col].dataType),
         T.StructField("sim_pq", T.DoubleType()),
     ])
     cols = [id_col, code_col] + ([cell_col] if cents is not None else [])

@@ -111,10 +111,12 @@ class _ManifestStreamReader(DataSourceStreamReader):
         self.ignore_mutations = (
             str(options.get("ignore_mutations", "false")).lower() == "true"
         )
-        # 0 = unbounded. The cap engages once a floor is known (after the
-        # first planned batch or a checkpoint commit); the very first
-        # batch after a cold start is uncapped because latestOffset has
-        # no start offset to measure from.
+        # 0 = unbounded. latestOffset() seeds the cap floor from
+        # start_version on first use (so even batch 1 of a cold start is
+        # capped); partitions()/commit() re-learn the true position
+        # afterwards — on a checkpoint restart Spark replays commit()
+        # for the recovered batch before planning, which re-seeds the
+        # floor from the checkpoint.
         self.max_versions = int(options.get("max_versions_per_batch", 0))
         self.start_version = int(options.get("start_version", 0))
         self._floor: Optional[int] = None
@@ -126,9 +128,9 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return RunState(self.root)
 
     def initialOffset(self) -> dict:
-        # only called on a COLD start (no checkpoint) — safe to seed the
-        # cap floor here; on restart the checkpointed offset re-seeds it
-        # via partitions()/commit() and the first batch runs uncapped.
+        # only called on a COLD start (no checkpoint); latestOffset()
+        # seeds the same floor itself because Spark does not reliably
+        # call initialOffset on the serving instance first.
         self._floor = self.start_version
         return {"version": self.start_version}
 
@@ -158,8 +160,21 @@ class _ManifestStreamReader(DataSourceStreamReader):
         # the true position after a checkpoint restart whose offset is
         # ahead of the seeded start_version floor
         self._floor = max(lo, hi, self._floor or 0)
-        if hi <= lo:
-            return [_FileSlice("", [])]  # regressed/empty window
+        if hi < lo:
+            # A REGRESSED window would commit a backwards offset and the
+            # following batch would replay already-delivered versions —
+            # silent duplication. Unreachable on current Spark (recovery
+            # replays commit() before planning, which re-seeds the
+            # floor), so if it ever fires, fail LOUDLY; the floor update
+            # above means a retried plan resumes from `lo` correctly.
+            raise ValueError(
+                f"planned end offset {hi} is below start {lo} — the "
+                "pacing floor was lost across a restart; restart the "
+                "query (the checkpoint is intact and the next plan "
+                "resumes from the committed position)."
+            )
+        if hi == lo:
+            return [_FileSlice("", [])]  # empty window
         info = self._state().incremental_paths(lo, as_of=hi)
         if info["mutations"] and not self.ignore_mutations:
             raise ValueError(
