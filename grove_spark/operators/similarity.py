@@ -194,6 +194,20 @@ def ivf_train_centroids(
     return cents
 
 
+def _batch_matrix(batch, vec_col: str) -> np.ndarray:
+    """(rows, dim) float64 from an Arrow RecordBatch's list column —
+    ListArray.flatten() + reshape: no per-row Python lists, unlike
+    np.stack over a pandas object column (measured 2× on the 1M-vector
+    assign). flatten() honors slice offsets."""
+    import pyarrow as pa
+
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -201,25 +215,25 @@ def ivf_assign(
     out: str = "cell",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — one numpy matmul
-    per Arrow batch (mapInPandas; no per-row Python). At ingest time the
-    table is then clustered/partitioned by ``cell`` so queries touch
-    only probed cells' files."""
+    per Arrow batch (mapInArrow; no per-row Python, no pandas object
+    boxing). At ingest time the table is then clustered/partitioned by
+    ``cell`` so queries touch only probed cells' files."""
     cents = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     out_schema = T.StructType(
         list(emb.schema.fields) + [T.StructField(out, T.IntegerType())]
     )
 
     def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            pdf = pdf.copy()
-            pdf[out] = (mat @ cents.T).argmax(axis=1).astype("int32")
-            yield pdf
+        import pyarrow as pa
 
-    return emb.mapInPandas(kernel, out_schema)
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            mat = _normalize(_batch_matrix(batch, vec_col))
+            cells = (mat @ cents.T).argmax(axis=1).astype("int32")
+            yield batch.append_column(out, pa.array(cells, pa.int32()))
+
+    return emb.mapInArrow(kernel, out_schema)
 
 
 def ivf_topk(
@@ -323,7 +337,7 @@ def pq_encode(
     cell_col: str = "cell",
 ) -> DataFrame:
     """Encode every vector to its m-byte PQ code — one numpy distance
-    matrix per (subspace, Arrow batch) inside mapInPandas, no per-row
+    matrix per (subspace, Arrow batch) inside mapInArrow, no per-row
     Python. The code column is BINARY (m bytes). Vectors are unit-
     normalized first (cosine metric throughout).
 
@@ -340,14 +354,17 @@ def pq_encode(
     )
 
     def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = _normalize(mat)
+            mat = _normalize(_batch_matrix(batch, vec_col))
             if cents is not None:
-                mat = mat - cents[pdf[cell_col].to_numpy()]
-            codes = np.empty((len(mat), m), dtype=np.uint8)
+                cells = np.asarray(batch.column(cell_col), dtype=np.int64)
+                mat = mat - cents[cells]
+            codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
                 sub = mat[:, j * dsub:(j + 1) * dsub]
                 # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; argmin over c
@@ -356,11 +373,20 @@ def pq_encode(
                     + (books[j] ** 2).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
-            pdf = pdf.copy()
-            pdf[out] = [c.tobytes() for c in codes]
-            yield pdf
+            # one variable-binary array straight from buffers: the value
+            # buffer IS the code matrix, offsets are an arange — no
+            # per-row bytes objects
+            arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None,
+                 pa.py_buffer(
+                     np.arange(0, (n + 1) * m, m, dtype=np.int32).tobytes()
+                 ),
+                 pa.py_buffer(codes.tobytes())],
+            )
+            yield batch.append_column(out, arr)
 
-    return emb.mapInPandas(kernel, out_schema)
+    return emb.mapInArrow(kernel, out_schema)
 
 
 def pq_adc_topk(
