@@ -85,16 +85,18 @@ def write_ann_index(
             raise ValueError("kind='ivf_pq' needs trained centroids")
         if codebooks is None:
             raise ValueError("kind='ivf_pq' needs trained PQ codebooks")
-        from grove_spark.operators.similarity import pq_encode
+        from grove_spark.operators.similarity import ivf_assign_pq_encode
 
         # codes are RESIDUALS vs the cell centroid (canonical IVF-PQ):
         # raw-vector codes spend their capacity on the global spread and
         # intra-cell order drowns in quantization error (recall@10 0.23
-        # vs 1.0 measured on the 1M-vector leg)
-        assigned = pq_encode(
-            ivf_assign(emb, centroids, vec_col, out="cell"),
-            codebooks, vec_col, out="code",
-            centroids=centroids, cell_col="cell",
+        # vs 1.0 measured on the 1M-vector leg). Assign + encode run as
+        # ONE fused Arrow kernel (r6): the chained ivf_assign → pq_encode
+        # form crossed the JVM↔Python boundary twice with the full
+        # vector column; identical values, half the transfer.
+        assigned = ivf_assign_pq_encode(
+            emb, centroids, codebooks, vec_col,
+            cell_out="cell", code_out="code",
         )
         if not keep_vectors:
             assigned = assigned.drop(vec_col)
@@ -166,14 +168,24 @@ def ann_index_scan(
     if meta["layout"] == "partitioned":
         from grove_spark.sources.file_stats import _list_parquet
 
-        df = spark.read.parquet(path).where(F.col(ccol).isin(probe))
-        # Catalyst partition pruning does the real work (PartitionFilters
-        # in the plan); the counts here are telemetry from the layout
-        kept = sum(
-            len(_list_parquet(os.path.join(path, f"{ccol}={v}")))
+        # read ONLY the probed cell directories (basePath keeps the cell
+        # partition column): the full-table read paid file listing and
+        # partition discovery over EVERY cell dir per query before
+        # Catalyst pruned them again — planning cost proportional to the
+        # index, not the probe. The residual isin stays (pruning changes
+        # cost, never results), and a probe of missing cells degrades to
+        # the empty-but-typed frame.
+        probe_dirs = [
+            os.path.join(path, f"{ccol}={v}")
             for v in probe
             if os.path.isdir(os.path.join(path, f"{ccol}={v}"))
-        )
+        ]
+        if probe_dirs:
+            df = spark.read.option("basePath", path).parquet(*probe_dirs)
+        else:
+            df = spark.read.parquet(path).where(F.lit(False))
+        df = df.where(F.col(ccol).isin(probe))
+        kept = sum(len(_list_parquet(d)) for d in probe_dirs)
         total = len(_list_parquet(path))
     else:
         from grove_spark.sources.file_stats import (

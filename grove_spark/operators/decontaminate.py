@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grove_spark.operators.dedup_fuzzy import word_shingles
+from grove_spark.operators.dedup_fuzzy import _distinct_grams, word_shingles
 
 
 def _bench_grams(benchmark: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -56,36 +56,42 @@ def contamination_scores(
 ) -> DataFrame:
     """Per-document n-gram overlap with the benchmark set.
 
-    Returns one row per ``docs`` row: (id_col, n_grams, n_contaminated,
+    Returns one row per document id: (id_col, n_grams, n_contaminated,
     contaminated_frac). Documents shorter than ``n`` words have
-    n_grams = 0 and frac = 0.0 (nothing to match on).
+    n_grams = 0 and frac = 0.0 (nothing to match on). ``id_col`` is
+    expected to be unique per row (the universal doc-table contract;
+    duplicated ids collapse to one output row).
     """
-    sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("__doc"), F.xxhash64("shingle").alias("__g")
-    )
+    # Plan shape (r6): gram construction + hashing was measured at ~16 s
+    # of the 17.7 s 1M-doc leg (the join + aggregate tail is ~1.7 s), so
+    # the win is hashing gram BYTE RANGES straight off the Arrow string
+    # buffer (dedup_fuzzy.hashed_gram_rows — no gram strings, no
+    # Catalyst array churn) in ONE pass that also carries the per-doc
+    # distinct-gram count. explode_outer semantics in that frame keep
+    # gramless docs as a null-gram row, so the per-doc aggregate covers
+    # every document and the old join-back to ``docs`` disappears too.
+    # Values are unchanged: same distinct grams, same xxhash64 ids.
+    from grove_spark.operators.dedup_fuzzy import hashed_gram_rows
+
+    rows = hashed_gram_rows(docs, n, id_col, text_col)
     bench = _bench_grams(benchmark, text_col, n)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
+    n_grams = F.max("__n").cast("bigint")
+    n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
     per_doc = (
-        sh.join(bench, "__g", "left")
-        .groupBy("__doc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias(
-                "n_contaminated"
-            ),
-        )
+        rows.join(bench, "__g", "left")
+        .groupBy(id_col)
+        .agg(n_grams.alias("n_grams"), n_cont.alias("n_contaminated"))
     )
-    out = docs.select(id_col).join(
-        per_doc.withColumnRenamed("__doc", id_col), id_col, "left"
-    )
-    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
-    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("bigint"))
-    return out.select(
+    return per_doc.select(
         id_col,
-        n_grams.alias("n_grams"),
-        n_cont.alias("n_contaminated"),
-        F.when(n_grams > 0, n_cont.cast("double") / n_grams)
+        "n_grams",
+        "n_contaminated",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_grams"),
+        )
         .otherwise(F.lit(0.0))
         .alias("contaminated_frac"),
     )
@@ -158,10 +164,13 @@ def contamination_scores_stream(
     shingle hash, e.g. a previous call's attribute) whose caching the
     caller owns entirely.
     """
-    sh = word_shingles(
-        docs.select(id_col, time_col, text_col), text_col, n
-    ).select(
-        id_col, time_col, F.xxhash64("shingle").alias("__g")
+    # hash before the explode (same r6 rewrite as the batch twin): the
+    # streamed shingle rows are 8-byte longs, never gram strings
+    sh = docs.select(
+        id_col, time_col,
+        F.explode(
+            F.transform(_distinct_grams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("__g"),
     )
     if benchmark_grams is None:
         benchmark_grams = _bench_grams(benchmark, text_col, n).persist()

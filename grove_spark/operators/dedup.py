@@ -49,10 +49,33 @@ def dedup_by_hash(
 
     ``seen`` has columns (pointer string, hash string) and is small by
     construction (boundary pointer only) -> broadcast anti-join.
+
+    The md5-of-canonical-JSON is the dominant per-row CPU of the whole
+    pipeline, yet only rows AT a seen pointer can ever match the
+    anti-join — every other row survives regardless of its hash. The
+    hash is therefore computed under ``CASE WHEN pointer IN (<seen
+    pointers>)`` (codegen evaluates CASE branches lazily), so the
+    boundary cohort pays it and the other ~100% of rows skip both the
+    JSON serialization and the md5. The seen frame is driver-local by
+    construction (it comes out of the manifest JSON), so collecting its
+    few distinct pointers at plan-build time is a LocalTableScan, not a
+    job. Anti-join semantics are unchanged: a null/unseen-pointer row
+    gets a null join key, which never equals, which survives — exactly
+    what a computed hash at an unseen pointer did.
     """
-    hashed = df.withColumn("__h", entry_hash(hash_cols)).withColumn(
-        "__p", F.col(pointer_col).cast("string")
-    )
+    ptrs = sorted({
+        r["__p"]
+        for r in seen.select(
+            F.col("pointer").cast("string").alias("__p")
+        ).distinct().collect()
+        if r["__p"] is not None
+    })
+    if not ptrs:
+        return df  # empty seen-state: the anti-join kept every row
+    p = F.col(pointer_col).cast("string")
+    hashed = df.withColumn(
+        "__h", F.when(p.isin(ptrs), entry_hash(hash_cols))
+    ).withColumn("__p", p)
     seen2 = F.broadcast(
         seen.select(
             F.col("pointer").cast("string").alias("__p"),

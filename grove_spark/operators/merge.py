@@ -157,9 +157,17 @@ def merge_into(
         raise ValueError("key_cols must name at least one column")
 
     # evaluated several times below (uniqueness agg, pruning joins,
-    # matched-key count, rewrite) — pin ONE evaluation; a caller-side
-    # persist is untouched (persist is idempotent, unpersist in finally)
-    updates = updates.persist()
+    # matched-key count, rewrite) — pin ONE evaluation. Spark caching is
+    # not refcounted, so only persist (and later unpersist) when the
+    # caller has NOT already cached the frame: an unconditional inner
+    # persist/unpersist pair would silently drop a caller-side persist,
+    # and a caller persist at a non-default level would make the inner
+    # persist() raise "cannot change storage level".
+    own_persist = not updates.storageLevel.useMemory and not (
+        updates.storageLevel.useDisk
+    )
+    if own_persist:
+        updates = updates.persist()
     try:
         return _merge_run(
             spark, state, out_path, updates, key_cols, when_matched,
@@ -168,7 +176,8 @@ def merge_into(
             bloom_probe_max_keys, stats_cache,
         )
     finally:
-        updates.unpersist()
+        if own_persist:
+            updates.unpersist()
 
 
 def _merge_run(
@@ -251,24 +260,59 @@ def _merge_run(
             load_bloom(d, key_cols[0]) is not None for d in cand
         ):
             # xxhash64 is TYPE-sensitive (int 10 and bigint 10 hash
-            # differently): cast the probe keys to the STORE column's
-            # type so they hash exactly like the sidecar build did
-            ktype = spark.read.parquet(cand[0]).schema[key_cols[0]].dataType
-            hashed = (
-                updates.select(F.col(key_cols[0]).cast(ktype).alias(key_cols[0]))
-                .select(*_hash_cols(key_cols[0]))
-                .distinct()
-                .toPandas()
+            # differently): cast the probe keys to each dir's OWN key
+            # type so they hash exactly like that dir's sidecar build
+            # did. Dirs are grouped by footer key type (one pyarrow
+            # footer read per dir — metadata only); a single-type store
+            # pays one hash collect exactly as before, a schema-evolved
+            # store pays one per distinct type instead of silently
+            # probing every sidecar with cand[0]'s type (false
+            # negatives -> missed updates).
+            import pyarrow.parquet as _pq
+
+            from grove_spark.sources.file_stats import (
+                _list_parquet as _lsp,
             )
-            h1 = hashed["__h1"].to_numpy()
-            h2 = hashed["__h2"].to_numpy()
-            if len(cand) > 256:
-                # executor-side sidecar reads: the driver collects one
-                # boolean per dir instead of O(dirs x sidecar bytes)
-                verdict = probe_dirs_distributed(spark, cand, key_cols[0], h1, h2)
-            else:
-                verdict = probe_dirs(cand, key_cols[0], h1, h2)
-            affected = {d for d in cand if verdict[d]}
+
+            def _dir_ktype(d):
+                files = _lsp(d)
+                if not files:
+                    return None
+                try:
+                    f = _pq.read_schema(files[0]).field(key_cols[0])
+                except KeyError:
+                    return None
+                return f.type
+
+            by_type: dict = {}
+            for d in cand:
+                by_type.setdefault(str(_dir_ktype(d)), []).append(d)
+            kept_bloom = set()
+            for tstr, dirs in by_type.items():
+                if tstr == "None":
+                    kept_bloom.update(dirs)  # unreadable: keep conservatively
+                    continue
+                ktype = spark.read.parquet(dirs[0]).schema[key_cols[0]].dataType
+                hashed = (
+                    updates.select(
+                        F.col(key_cols[0]).cast(ktype).alias(key_cols[0])
+                    )
+                    .select(*_hash_cols(key_cols[0]))
+                    .distinct()
+                    .toPandas()
+                )
+                h1 = hashed["__h1"].to_numpy()
+                h2 = hashed["__h2"].to_numpy()
+                if len(dirs) > 256:
+                    # executor-side sidecar reads: the driver collects one
+                    # boolean per dir instead of O(dirs x sidecar bytes)
+                    verdict = probe_dirs_distributed(
+                        spark, dirs, key_cols[0], h1, h2
+                    )
+                else:
+                    verdict = probe_dirs(dirs, key_cols[0], h1, h2)
+                kept_bloom.update(d for d in dirs if verdict[d])
+            affected = kept_bloom
     affected_dirs = sorted(affected)
     rows_before = sum(ranges[d]["rows"] for d in affected_dirs)
 

@@ -59,20 +59,39 @@ def redact(
     rules = rules or DEFAULT_RULES
     out_col = out_col or text_col
     cur = F.col(text_col)
-    metrics = []
-    for name, pattern, repl in rules:
-        if with_counts:
-            metrics.append(
-                F.sum(F.regexp_count(cur, F.lit(pattern))).alias(f"{name}_hits")
-            )
-        cur = F.regexp_replace(cur, pattern, repl)
     obs = None
+    if not with_counts:
+        for _, pattern, repl in rules:
+            cur = F.regexp_replace(cur, pattern, repl)
+        return df.withColumn(out_col, cur), obs
+    # Counters semantics: each rule counts on the text state it actually
+    # saw (after earlier rules' replacements). Naively that makes metric
+    # i re-run the first i replacements inside the observe aggregate —
+    # O(rules²) regex passes per row, and the final output column runs
+    # the whole chain once more. Projecting each intermediate count AND
+    # the final text as columns FIRST puts every regexp in ONE
+    # projection, where codegen's subexpression elimination shares the
+    # progressive replace chain — one replace + one count per rule per
+    # row. The observe then just sums ints. Same expressions, same
+    # order, byte-identical counters and output.
+    tmp_cols = []
     base = df
-    if with_counts:
-        # observe BEFORE the replacement column lands: when out_col ==
-        # text_col the counters must still resolve against the original
-        # text, not the redacted output
-        obs = Observation("redact")
-        base = df.observe(obs, *metrics)
-    out = base.withColumn(out_col, cur)
+    for name, pattern, repl in rules:
+        cname = f"__redact_{name}"
+        base = base.withColumn(cname, F.regexp_count(cur, F.lit(pattern)))
+        tmp_cols.append(cname)
+        cur = F.regexp_replace(cur, pattern, repl)
+    # the redacted text joins the SAME projection, so the full chain is
+    # evaluated exactly once per row and shared with the counts
+    base = base.withColumn("__redact_out", cur)
+    tmp_cols.append("__redact_out")
+    obs = Observation("redact")
+    base = base.observe(
+        obs,
+        *[
+            F.sum(F.col(f"__redact_{name}")).alias(f"{name}_hits")
+            for name, _, _ in rules
+        ],
+    )
+    out = base.withColumn(out_col, F.col("__redact_out")).drop(*tmp_cols)
     return out, obs

@@ -389,6 +389,65 @@ def pq_encode(
     return emb.mapInArrow(kernel, out_schema)
 
 
+def ivf_assign_pq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    cell_out: str = "cell",
+    code_out: str = "code",
+) -> DataFrame:
+    """Fused ``ivf_assign`` + residual ``pq_encode`` in ONE mapInArrow
+    kernel: the chained form shipped every vector across the JVM↔Python
+    boundary twice (once to assign, once to encode) and normalized it
+    twice; here one crossing and one normalize produce both columns.
+    Values are identical to the chained form — both stages normalized
+    the RAW vector independently, so sharing the normalized matrix
+    changes nothing — and the column order (…, cell, code) matches, so
+    the index layout is unchanged."""
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    out_schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField(cell_out, T.IntegerType()),
+           T.StructField(code_out, T.BinaryType())]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat = _normalize(_batch_matrix(batch, vec_col))
+            cells = (mat @ cents.T).argmax(axis=1)
+            res = mat - cents[cells]
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    -2.0 * (sub @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            code_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None,
+                 pa.py_buffer(
+                     np.arange(0, (n + 1) * m, m, dtype=np.int32).tobytes()
+                 ),
+                 pa.py_buffer(codes.tobytes())],
+            )
+            out = batch.append_column(
+                cell_out, pa.array(cells.astype("int32"), pa.int32())
+            )
+            yield out.append_column(code_out, code_arr)
+
+    return emb.mapInArrow(kernel, out_schema)
+
+
 def pq_adc_topk(
     coded: DataFrame,
     codebooks: np.ndarray,
@@ -470,12 +529,9 @@ def pq_adc_topk(
             })
 
     partial = coded.select(*cols).mapInPandas(kernel, schema)
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("sim_pq"), F.asc(id_col))
-    # global k is tiny (partial already bounded to k per Arrow batch)
-    return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .drop("rk")
-    )
+    # global k via orderBy + limit: compiles to TakeOrderedAndProject —
+    # per-partition top-k then a driver merge — instead of the previous
+    # unpartitioned window, which moved every partial row to ONE task
+    # (the "No Partition Defined for Window" warning). Same total order
+    # (sim desc, id asc), same rows.
+    return partial.orderBy(F.desc("sim_pq"), F.asc(id_col)).limit(k)

@@ -352,6 +352,16 @@ def tokenize(
             )
             doc_ends = tok_ends[np.cumsum(pc)]
             offsets = np.concatenate((np.zeros(1, np.int64), doc_ends))
+            if total > np.iinfo(np.int32).max:
+                # Arrow ListArray offsets are int32: one batch may carry
+                # at most 2^31-1 tokens. Fail with the remedy named
+                # instead of an opaque ArrowInvalid from the cast below.
+                raise ValueError(
+                    f"one Arrow batch holds {total} tokens, over the "
+                    "int32 list-offset limit — lower spark.sql.execution."
+                    "arrow.maxRecordsPerBatch (huge documents) so a "
+                    "batch stays under 2^31 tokens"
+                )
             arr = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()), pa.array(stream, pa.int32())
             )

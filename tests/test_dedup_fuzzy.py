@@ -248,3 +248,132 @@ def test_uncapped_path_is_selfjoin_and_matches_capped(spark):
     capped = lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10_000)
     assert uncapped.exceptAll(capped).count() == 0
     assert capped.exceptAll(uncapped).count() == 0
+
+
+def test_xxh64_long_kernel_matches_spark(spark):
+    """The numpy XXH64.hashLong replica must be bit-identical to Spark's
+    xxhash64 over longs — single-arg (seed 42) and the chained
+    two-arg form minhash_signatures uses."""
+    import numpy as np
+
+    from grove_spark.operators.dedup_fuzzy import _xxh64_int, _xxh64_long
+
+    vals = np.array(
+        [0, 1, -1, 2**63 - 1, -(2**63), 42, 123456789123456789,
+         -987654321987654321, 7, -7],
+        dtype=np.int64,
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    one = [r[0] for r in df.select(F.xxhash64("x")).collect()]
+    h0 = _xxh64_long(vals.view(np.uint64), np.uint64(42))
+    assert h0.view(np.int64).tolist() == one
+    for seed in (0, 1, 31, 63):
+        # the seed literal is an INT -> Spark chains XXH64.hashInt
+        exp = [r[0] for r in df.select(F.xxhash64("x", F.lit(seed))).collect()]
+        got = _xxh64_int(np.uint64(seed), h0)
+        assert got.view(np.int64).tolist() == exp, f"seed {seed}"
+
+
+def test_arrow_minhash_parity_with_catalyst(spark):
+    """engine='arrow' signatures are bit-identical to the Catalyst
+    executable spec, including short-doc drop semantics."""
+    import random
+
+    rows = []
+    for i in range(400):
+        rng = random.Random(i)
+        k = rng.randint(0, 12)  # includes docs with < n words (dropped)
+        rows.append((i, " ".join(f"w{rng.randint(0, 60)}" for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["sig"]
+         for r in minhash_signatures(df, 64, 3, engine="arrow").collect()}
+    c = {r["doc_id"]: r["sig"]
+         for r in minhash_signatures(df, 64, 3, engine="catalyst").collect()}
+    assert a == c
+    assert len(a) > 100  # the corpus really produced signatures
+    a32 = {r["doc_id"]: r["sig"]
+           for r in minhash_signatures(df, 32, 3, engine="arrow").collect()}
+    c32 = {r["doc_id"]: r["sig"]
+           for r in minhash_signatures(df, 32, 3, engine="catalyst").collect()}
+    assert a32 == c32
+
+
+def test_xxh64_bytes_kernel_matches_spark(spark):
+    """The vectorized XXH64-over-bytes replica must match F.xxhash64 on
+    strings of every length class: empty, <8, 4-byte tail, 1-byte tail,
+    8..31, >=32 (stripe path), multi-byte UTF-8, long."""
+    import numpy as np
+
+    from grove_spark.operators.dedup_fuzzy import _xxh64_bytes
+
+    strings = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "0123456789abcdef", "0123456789abcdef0123456789abcde",
+        "0123456789abcdef0123456789abcdef",  # exactly 32
+        "0123456789abcdef0123456789abcdef0123",  # 32 + 4
+        "0123456789abcdef0123456789abcdefX",  # 32 + 1
+        "x" * 100, "héllo wörld ünïcode",  # multi-byte utf-8
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "a b", " a  b ", "\ttab\nnewline",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    exp = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    raw = b"".join(s.encode("utf-8") for s in strings)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    lens = np.array([len(s.encode("utf-8")) for s in strings], dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    got = _xxh64_bytes(data, starts, lens).view(np.int64).tolist()
+    assert got == exp
+
+
+def test_hashed_gram_rows_parity(spark):
+    """Arrow gram-row kernel vs the Catalyst expression form: identical
+    (id, __n, __g) multisets, including null texts, short docs, doubled
+    spaces and n=1/n=13."""
+    import random
+
+    from grove_spark.operators.dedup_fuzzy import hashed_gram_rows
+
+    rows = []
+    for i in range(300):
+        rng = random.Random(i * 31)
+        k = rng.randint(0, 16)
+        words = [f"w{rng.randint(0, 40)}" for _ in range(k)]
+        t = " ".join(words)
+        if i % 17 == 0:
+            t = t + "  doubled  spaces "
+        rows.append((i, None if i % 23 == 11 else t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 3, 13):
+        a = sorted(
+            (r["doc_id"], r["__n"], r["__g"])
+            for r in hashed_gram_rows(df, n, engine="arrow").collect()
+        )
+        c = sorted(
+            (r["doc_id"], r["__n"], r["__g"])
+            for r in hashed_gram_rows(df, n, engine="catalyst").collect()
+        )
+        assert a == c, f"n={n}"
+        assert len({r[0] for r in a}) == 300  # every doc represented
+
+
+def test_hashed_shingle_sets_parity(spark):
+    """Arrow shingle-set kernel vs the Catalyst spec: same per-doc hash
+    SETS (order differs by design: sorted vs first-occurrence)."""
+    import random
+
+    from grove_spark.operators.dedup_fuzzy import hashed_shingle_sets
+
+    rows = []
+    for i in range(300):
+        rng = random.Random(i * 13)
+        k = rng.randint(0, 10)
+        rows.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc"]: frozenset(r["sh_set"])
+         for r in hashed_shingle_sets(df, 3, engine="arrow").collect()}
+    c = {r["doc"]: frozenset(r["sh_set"])
+         for r in hashed_shingle_sets(df, 3, engine="catalyst").collect()}
+    assert a == c
+    assert len(a) == 300  # short docs kept with empty sets

@@ -171,7 +171,12 @@ def test_every_gate_query_is_python_free(spark):
                      "wav_decode", "png_decode", "jpeg_decode",
                      # BPE encode: iterative merge walk, Arrow-batched
                      # with per-executor piece memo (decode IS Catalyst)
-                     "bpe_tokenize"}
+                     "bpe_tokenize",
+                     # r6: gram hashing + the MinHash seed family run as
+                     # vectorized xxh64 Arrow kernels (bit-identical to
+                     # the Catalyst spec — test_dedup_fuzzy parity
+                     # suite); measured 8x+ on the 1M-doc legs
+                     "minhash_lsh", "decontaminate"}
     for name, fn in QUERIES.items():
         if name == "stream_tumbling":
             continue  # executes a streaming query; covered by its own test
