@@ -554,6 +554,7 @@ def assemble_fleet(
     exact = None    # full-key predicate applied AFTER the enrich fan-out
     seen_rows = []
     ptr_case = None  # per-MEMBER pointer string for the seen anti-join
+    seen_gate = None  # rows that could possibly match the seen anti-join
     for m in configs:
         pc = (pointer_cols or {}).get(m.reference(), pointer_col)
         wm = watermarks.get(m.reference())
@@ -577,6 +578,16 @@ def assemble_fleet(
             (m.connector, m.identity, m.operation, ptr, h)
             for ptr, hs in seen.items() for h in hs
         ]
+        if seen:
+            # only THIS member's rows AT one of its seen boundary
+            # pointers can match the anti-join below — gate the
+            # md5-of-canonical-JSON on that (same lazy-hash rule as
+            # operators/dedup.dedup_by_hash, r6): every other row skips
+            # the JSON serialization + md5 entirely
+            g = is_m & F.col(pc).cast("string").isin(
+                [str(p) for p in seen.keys()]
+            )
+            seen_gate = g if seen_gate is None else (seen_gate | g)
         branch_ptr = F.when(is_m, F.col(pc).cast("string"))
         ptr_case = branch_ptr if ptr_case is None else ptr_case.when(
             is_m, F.col(pc).cast("string")
@@ -596,7 +607,9 @@ def assemble_fleet(
             "__p string, __h string",
         )
         ded = (
-            ded.withColumn("__h", entry_hash(list(hash_cols)))
+            ded.withColumn(
+                "__h", F.when(seen_gate, entry_hash(list(hash_cols)))
+            )
             .withColumn("__p", ptr_case)
             .join(
                 F.broadcast(seen_df),

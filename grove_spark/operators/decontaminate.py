@@ -53,6 +53,7 @@ def contamination_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_benchmark: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document n-gram overlap with the benchmark set.
 
@@ -71,12 +72,44 @@ def contamination_scores(
     # gramless docs as a null-gram row, so the per-doc aggregate covers
     # every document and the old join-back to ``docs`` disappears too.
     # Values are unchanged: same distinct grams, same xxhash64 ids.
-    from grove_spark.operators.dedup_fuzzy import hashed_gram_rows
-
-    rows = hashed_gram_rows(docs, n, id_col, text_col)
+    # ``engine="catalyst"`` keeps the r5 exploded-string plan — at
+    # gate-scale inputs (thousands of docs) the Arrow stage's fixed
+    # setup costs more than it saves. Same values either way.
     bench = _bench_grams(benchmark, text_col, n)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
+    if engine == "catalyst":
+        sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+            F.col(id_col).alias("__doc"), F.xxhash64("shingle").alias("__g")
+        )
+        per_doc = (
+            sh.join(bench, "__g", "left")
+            .groupBy("__doc")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_contaminated"),
+            )
+        )
+        out = docs.select(id_col).join(
+            per_doc.withColumnRenamed("__doc", id_col), id_col, "left"
+        )
+        n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
+        n_cont = F.coalesce(
+            F.col("n_contaminated"), F.lit(0).cast("bigint")
+        )
+        return out.select(
+            id_col,
+            n_grams.alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            F.when(n_grams > 0, n_cont.cast("double") / n_grams)
+            .otherwise(F.lit(0.0))
+            .alias("contaminated_frac"),
+        )
+    from grove_spark.operators.dedup_fuzzy import hashed_gram_rows
+
+    rows = hashed_gram_rows(docs, n, id_col, text_col)
     n_grams = F.max("__n").cast("bigint")
     n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
     per_doc = (

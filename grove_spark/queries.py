@@ -137,8 +137,16 @@ def q_zip_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     zipped = zip_paths(ev, "params", key="name", values=["value"])
-    return zipped.select("event_id", F.explode("params")).select(
-        "event_id", F.col("key"), F.col("value")
+    # explode_outer + key-not-null == explode, row for row (map keys are
+    # never null; empty/missing maps drop either way) — but the OUTER
+    # generate blocks InferFiltersFromGenerate, whose inferred
+    # size(map_from_entries(...)) > 0 pre-filter re-evaluated the whole
+    # map construction (json parse included) once more per row in an
+    # interpreted Filter (r6 plan audit; ~35% of the row's wall)
+    return (
+        zipped.select("event_id", F.explode_outer("params"))
+        .where(F.col("key").isNotNull())
+        .select("event_id", F.col("key"), F.col("value"))
     )
 
 
@@ -1754,7 +1762,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     bench = docs.where(F.col("doc_id") % 10 == 0)
-    s = contamination_scores(corpus, bench, n=13)
+    # catalyst engine: the sf-dir corpus is thousands of docs — the Arrow
+    # gram kernel's fixed stage setup costs more than it saves below
+    # ~100k docs (measured; same values either way, parity-tested)
+    s = contamination_scores(corpus, bench, n=13, engine="catalyst")
     return s.select(
         "doc_id", "n_grams", "n_contaminated", "contaminated_frac",
         (F.col("n_contaminated") >= 1).alias("is_contaminated"),
