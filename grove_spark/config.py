@@ -622,35 +622,45 @@ def assemble_fleet(
     # ---- routing branches over the SHARED deduped stream ------------------
     # Sinks dims are keyed by the FULL config identity so same-named
     # connectors don't cross-route, and route()'s inner join doubles as
-    # the membership filter. Branch count = 1 raw + 1 unchained-processed
-    # + one per distinct non-empty chain (the round-2 shape was 2 per
-    # chain group — at fleet width the plan size halves and every branch
-    # shares one scan subtree instead of re-deriving its own).
+    # the membership filter. Branch count = 1 + one per distinct
+    # non-empty chain (r6; was 1 raw + 1 unchained-processed + chains):
+    # a chainless member's "processed" stream is the deduped rows
+    # UNCHANGED, so its processed sinks ride the same broadcast routing
+    # join as every member's raw sinks — one fewer union arm, one fewer
+    # scan+enrich+anti-join subtree and broadcast build per tick, with a
+    # row multiset identical by construction.
     route_keys = ["connector", "identity", "operation"]
-    all_sinks = sinks_dim_from_configs(spark, configs)
-    branches = [
-        route(
-            ded, all_sinks.where(F.col("stream") != "processed"),
-            connector_col=route_keys, raw_col="tokens",
-        )
-    ]
     groups: Dict[str, List[ConnectorConfig]] = {}
     for cfg in configs:
         groups.setdefault(cfg.chain_key(), []).append(cfg)
-    key_lit = F.concat_ws("\x01", *route_keys)
+    chained: List[tuple] = []
+    chainless: List[ConnectorConfig] = []
     for chain_json, members in groups.items():
         chain = json.loads(chain_json)
+        if chain:
+            chained.append((chain, members))
+        else:
+            chainless += members
+    key_lit = F.concat_ws("\x01", *route_keys)
+    all_sinks = sinks_dim_from_configs(spark, configs)
+    dim_key = F.concat_ws("\x01", "connector", "identity", "operation")
+    chainless_keys = [
+        "\x01".join([m.connector, m.identity, m.operation]) for m in chainless
+    ]
+    base_dim = all_sinks.where(
+        (F.col("stream") != "processed")
+        | (F.lit(bool(chainless_keys)) & dim_key.isin(chainless_keys))
+    )
+    branches = [route(ded, base_dim, connector_col=route_keys, raw_col="tokens")]
+    for chain, members in chained:
         proc_sinks = sinks_dim_from_configs(spark, members).where(
             F.col("stream") == "processed"
         )
-        if chain:
-            # pre-filter to the group's members BEFORE the chain: fan-out
-            # processors (split_path) must not run over foreign rows that
-            # the routing join would drop anyway
-            keys = ["\x01".join([m.connector, m.identity, m.operation]) for m in members]
-            processed = apply_chain(ded.where(key_lit.isin(keys)), chain)
-        else:
-            processed = ded
+        # pre-filter to the group's members BEFORE the chain: fan-out
+        # processors (split_path) must not run over foreign rows that
+        # the routing join would drop anyway
+        keys = ["\x01".join([m.connector, m.identity, m.operation]) for m in members]
+        processed = apply_chain(ded.where(key_lit.isin(keys)), chain)
         branches.append(
             route(processed, proc_sinks, connector_col=route_keys, raw_col="tokens")
         )
