@@ -227,20 +227,46 @@ def _merge_run(
     ranged = [(d, r["min"], r["max"]) for d, r in ranges.items() if r["min"] is not None]
     affected = set(statless)
     if ranged:
-        rdf = spark.createDataFrame(ranged, ["__dir", "__lo", "__hi"])
-        k = F.col(key_cols[0])
-        hits = (
-            updates.select(key_cols[0])
-            .join(
-                F.broadcast(rdf),
-                (k >= F.col("__lo")) & (k <= F.col("__hi")),
-                "inner",
+        from pyspark.sql import types as T
+
+        kdt = updates.schema[key_cols[0]].dataType
+        # Driver-side range check for small int/string key sets: the
+        # distributed interval join paid a whole Spark job (broadcast
+        # build + AQE stages) to compare a dim-sized key list against a
+        # handful of [lo, hi] pairs. One narrow distinct-collect +
+        # bisect does the identical comparison (int order and Python
+        # str order both match Spark's — UTF-8 byte order preserves
+        # code points). Other key types (timestamps, decimals) keep the
+        # distributed join: their driver-side comparison semantics are
+        # not provably identical, and pruning must never be wrong.
+        if n_updates <= bloom_probe_max_keys and isinstance(
+            kdt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+        ):
+            import bisect
+
+            kvals = sorted(
+                r[0] for r in updates.select(key_cols[0]).distinct().collect()
             )
-            .select("__dir")
-            .distinct()
-            .collect()
-        )
-        affected.update(r["__dir"] for r in hits)
+            for d, lo, hi in ranged:
+                i = bisect.bisect_left(kvals, lo)
+                if i < len(kvals) and kvals[i] <= hi:
+                    affected.add(d)
+        else:
+            rdf = spark.createDataFrame(ranged, ["__dir", "__lo", "__hi"])
+            k = F.col(key_cols[0])
+            hits = (
+                updates.select(key_cols[0])
+                .join(
+                    F.broadcast(rdf),
+                    (k >= F.col("__lo")) & (k <= F.col("__hi")),
+                    "inner",
+                )
+                .select("__dir")
+                .distinct()
+                .collect()
+            )
+            affected.update(r["__dir"] for r in hits)
 
     # ---- bloom refinement: point-probe dirs that ranges kept ----
     if affected and n_updates <= bloom_probe_max_keys:
@@ -351,8 +377,17 @@ def _merge_run(
     run_id = run_id or state.new_run_id()
     new_dir = os.path.normpath(f"{out_path}/part-merge-{run_id}")
     state.register_pending(new_dir)  # orphan GC must not race the write
+    # REBALANCE before the dynamic-partition write (guide §6): new_df is
+    # a union of per-dir scan splits plus the (often many-partitioned)
+    # update frame — written directly, every tiny task opens its own
+    # zstd parquet writers per touched hive dir (measured 7.1 s for a
+    # 250k-row rewrite, ~100 near-empty files). The AQE rebalance
+    # shuffle sizes write tasks to advisoryPartitionSizeInBytes, so the
+    # rewritten dir comes out in few well-sized files. Row content is
+    # untouched; only file layout changes.
     write_partitioned_parquet(
-        new_df, new_dir, max_records_per_file=max_records_per_file
+        new_df.hint("rebalance"), new_dir,
+        max_records_per_file=max_records_per_file,
     )
     out_files = _list_parquet(new_dir)
     out_stats = parquet_file_stats(out_files, pointer_col)
