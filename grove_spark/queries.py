@@ -28,6 +28,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_partitions(
+    spark: SparkSession, path: str, per_part: int = 1 << 16
+) -> int:
+    """Scale-adaptive repartition width: one partition per ``per_part``
+    input bytes (default 64 KB — compressed text expands ~4x, and the
+    downstream per-byte kernels keep a task busy at that size), clamped
+    to [2, defaultParallelism]. Replaces constant-width spreads that
+    cost 32 tiny tasks per stage at gate scale but starve a big input
+    (guide §2: derive partitioning from input size, not a constant
+    tuned to one box)."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        size = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(path)
+            for f in fs
+        )
+    else:
+        try:
+            size = _os.path.getsize(path)
+        except OSError:
+            size = 0
+    want = max(2, size // per_part)
+    return int(min(spark.sparkContext.defaultParallelism, want))
+
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
@@ -764,6 +791,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf-dir documents table is a single small parquet file -> one
     # input split; spread it so the signature map (the heaviest stage)
     # parallelizes — on a real corpus the many input files do this.
+    # The partition count is SCALE-ADAPTIVE (guide §2): derived from the
+    # input bytes (~64 KB compressed text per task keeps the shingle
+    # kernel busy) and clamped to defaultParallelism — a constant
+    # defaultParallelism spread paid 32 tiny tasks per stage at gate
+    # scale (measured 2.35 s vs 1.66 s for the whole query).
     # localCheckpoint materializes the spread rows ONCE for the two
     # consumers (signatures + verify sets) instead of re-scanning and
     # re-shuffling per subtree; blocks are freed when the frame is GC'd
@@ -771,7 +803,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_spread_partitions(spark, f"{sf_dir}/documents.parquet"))
         .localCheckpoint(eager=False)
     )
     return minhash_dedup_pairs(
