@@ -239,6 +239,7 @@ def _merge_run(
         # code points). Other key types (timestamps, decimals) keep the
         # distributed join: their driver-side comparison semantics are
         # not provably identical, and pruning must never be wrong.
+        driver_pruned = False
         if n_updates <= bloom_probe_max_keys and isinstance(
             kdt,
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
@@ -248,11 +249,20 @@ def _merge_run(
             kvals = sorted(
                 r[0] for r in updates.select(key_cols[0]).distinct().collect()
             )
-            for d, lo, hi in ranged:
-                i = bisect.bisect_left(kvals, lo)
-                if i < len(kvals) and kvals[i] <= hi:
-                    affected.add(d)
-        else:
+            try:
+                hit = set()
+                for d, lo, hi in ranged:
+                    i = bisect.bisect_left(kvals, lo)
+                    if i < len(kvals) and kvals[i] <= hi:
+                        hit.add(d)
+                affected.update(hit)
+                driver_pruned = True
+            except TypeError:
+                # a schema-evolved store whose footer stats are not the
+                # update key's type (e.g. int updates vs a string dir):
+                # fall through to the distributed join, which coerces
+                pass
+        if not driver_pruned:
             rdf = spark.createDataFrame(ranged, ["__dir", "__lo", "__hi"])
             k = F.col(key_cols[0])
             hits = (

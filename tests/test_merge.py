@@ -251,3 +251,68 @@ def test_merge_commits_are_mutations_for_incremental_readers(spark, tmp_path):
     res = merge_into(spark, state, out, upd, ["event_id"])
     rec = state.run_record(res["run_id"])
     assert rec["rewrite_kind"] == "mutation"
+
+
+def test_driver_side_range_prune_matches_join_prune(spark, tmp_path):
+    """r6: for int/string keys the range prune runs driver-side (sorted
+    distinct keys + bisect) — it must keep exactly the dirs the
+    distributed interval join kept, for hit/miss/boundary keys."""
+    state, out = _store(spark, tmp_path)
+    # keys at dir boundaries: 99 (dir0 max), 100 (dir1 min) -> both dirs
+    upd = spark.createDataFrame(_rows([99, 100], typ="patched"), SCHEMA)
+    res = merge_into(spark, state, out, upd, ["event_id"])
+    assert res["dirs_rewritten"] == 2 and res["rows_updated"] == 2
+    # keys beyond every range -> nothing rewritten on delete
+    miss = spark.createDataFrame([(10_000,)], "event_id long")
+    res2 = delete_by_keys(spark, state, out, miss, ["event_id"])
+    assert res2 is None or res2["rows_deleted"] == 0
+    got = _read_all(spark, state)
+    assert got.count() == 200
+    assert got.where("event_type = 'patched'").count() == 2
+
+
+def test_string_key_driver_prune(spark, tmp_path):
+    """String merge keys take the driver-side bisect path too (UTF-8
+    byte order == code point order); values must replace exactly."""
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("v", StringType()),
+        StructField("event_time", TimestampType()),
+        StructField("descriptor", StringType()),
+        StructField("connector", StringType()),
+    ])
+    t0 = dt.datetime(2024, 1, 1)
+    state = RunState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    for tag, lo, hi in [("a", 0, 50), ("b", 50, 100)]:
+        df = spark.createDataFrame(
+            [(f"k{i:04d}", "base", t0, "logs", "gate") for i in range(lo, hi)],
+            schema,
+        )
+        run_id = state.new_run_id()
+        d = os.path.join(out, f"part-{run_id}")
+        state.register_pending(d)
+        write_partitioned_parquet(df, d)
+        state.commit("gate", run_id, pointer=tag, data_paths=[d],
+                     file_stats=parquet_file_stats(_list_parquet(d), "event_time"))
+    upd = spark.createDataFrame(
+        [("k0042", "patched", t0, "logs", "gate")], schema)
+    res = merge_into(spark, state, out, upd, ["k"], pointer_col="event_time")
+    assert res["dirs_rewritten"] == 1 and res["rows_updated"] == 1
+    got = manifest_scan(spark, state, pointer_col="event_time")
+    assert got.where("v = 'patched'").count() == 1
+    assert got.count() == 100
+
+
+def test_rewrite_write_is_rebalanced(spark, tmp_path):
+    """r6: the rewritten dir must come out in a bounded number of files
+    (the pre-rebalance write produced one near-empty file per input
+    split per touched hive dir)."""
+    import glob
+
+    state, out = _store(spark, tmp_path)
+    upd = spark.createDataFrame(_rows(range(0, 10), typ="patched"), SCHEMA)
+    res = merge_into(spark, state, out, upd, ["event_id"])
+    files = glob.glob(res["new_dir"] + "/**/*.parquet", recursive=True)
+    # 110 rows in 2 hive date dirs: a handful of files, not ~dozens
+    assert 0 < len(files) <= 8, files
