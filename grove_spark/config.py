@@ -477,6 +477,44 @@ def sources_dim_from_configs(spark: SparkSession, configs: List[ConnectorConfig]
     )
 
 
+def _filter_only_drop(df, chain):
+    """Compile a chain made ONLY of built-in ``filter_entries`` steps to
+    its combined drop condition (rows survive iff no step drops them —
+    sequential filters compose as OR of drops). Returns None when the
+    chain needs a real plan branch: any non-filter processor, a
+    processor override registered under the same name, a step without
+    ``filters`` (apply_chain's KeyError contract must surface there),
+    or a filter that could bind to a routing-dim column after the join
+    (``descriptor``/``stream``/``sink_kind``/``routed_tokens`` —
+    pre-route those names resolve differently, so the predicate form
+    would not be equivalent)."""
+    import re as _re
+
+    from grove_spark.operators.processors import (
+        _BUILTIN_FILTER_ENTRIES,
+        _PROCESSORS,
+        filter_drop_condition,
+    )
+
+    if _PROCESSORS.get("filter_entries") is not _BUILTIN_FILTER_ENTRIES:
+        return None  # replaced via register_processor: semantics unknown
+    drop = None
+    for cfg in chain:
+        if cfg.get("processor") != "filter_entries":
+            return None
+        filters = cfg.get("filters")
+        if filters is None:
+            return None
+        if any(
+            _re.search(r"\b(descriptor|stream|sink_kind|routed_tokens)\b", f)
+            for f in filters
+        ):
+            return None
+        d = filter_drop_condition(df.schema, filters)
+        drop = d if drop is None else (drop | d)
+    return drop
+
+
 def assemble_fleet(
     spark: SparkSession,
     configs: List[ConnectorConfig],
@@ -635,12 +673,28 @@ def assemble_fleet(
         groups.setdefault(cfg.chain_key(), []).append(cfg)
     chained: List[tuple] = []
     chainless: List[ConnectorConfig] = []
+    pred_groups: List[tuple] = []  # (drop_cond, member keys)
     for chain_json, members in groups.items():
         chain = json.loads(chain_json)
-        if chain:
-            chained.append((chain, members))
-        else:
+        if not chain:
             chainless += members
+            continue
+        drop = _filter_only_drop(ded, chain)
+        if drop is not None:
+            # a chain made ONLY of filter_entries steps never reshapes
+            # rows — it compiles to one boolean predicate. Applying it
+            # AFTER the shared routing join (gated to the group's
+            # processed rows) removes the group's union arm entirely:
+            # same rows, one fewer scan+enrich+anti-join subtree and
+            # broadcast build per tick (r6).
+            keys = [
+                "\x01".join([m.connector, m.identity, m.operation])
+                for m in members
+            ]
+            pred_groups.append((drop, keys))
+            chainless += members  # processed sinks join the shared dim
+        else:
+            chained.append((chain, members))
     key_lit = F.concat_ws("\x01", *route_keys)
     all_sinks = sinks_dim_from_configs(spark, configs)
     dim_key = F.concat_ws("\x01", "connector", "identity", "operation")
@@ -651,7 +705,18 @@ def assemble_fleet(
         (F.col("stream") != "processed")
         | (F.lit(bool(chainless_keys)) & dim_key.isin(chainless_keys))
     )
-    branches = [route(ded, base_dim, connector_col=route_keys, raw_col="tokens")]
+    base = route(ded, base_dim, connector_col=route_keys, raw_col="tokens")
+    if pred_groups:
+        gate = None
+        for drop, keys in pred_groups:
+            g = (
+                key_lit.isin(keys)
+                & (F.col("stream") == "processed")
+                & F.coalesce(drop, F.lit(False))
+            )
+            gate = g if gate is None else (gate | g)
+        base = base.where(~gate)
+    branches = [base]
     for chain, members in chained:
         proc_sinks = sinks_dim_from_configs(spark, members).where(
             F.col("stream") == "processed"

@@ -96,6 +96,28 @@ def extract_paths(
     return df.select(*assemble_nested(values))
 
 
+def filter_drop_condition(schema, filters: Sequence[str]):
+    """The boolean drop condition of one ``filter_entries`` step: TRUE
+    when ANY filter matches. Exposed so a fleet of filter-only chains
+    can apply the chain as one post-routing predicate instead of a
+    separate plan branch (config.assemble_fleet, r6) — identical
+    semantics, the expression is the same one ``filter_entries`` uses."""
+    from grove_spark.functions.paths import compile_expr, compile_predicate, truthy
+
+    drop = F.lit(False)
+    for f in filters:
+        if f.startswith("sql:"):
+            cond = F.expr(f[4:])
+        else:
+            cond = compile_predicate(schema, f)
+            if cond is None:
+                # bare expression: truthiness (covers contains(tags,'x'))
+                sub = compile_expr(schema, f)
+                cond = truthy(*sub) if sub is not None else F.lit(False)
+        drop = drop | F.coalesce(cond, F.lit(False))
+    return drop
+
+
 def filter_entries(df: DataFrame, filters: Sequence[str]) -> DataFrame:
     """Drop a row when ANY filter matches (filter_entries.py:35-47).
 
@@ -107,20 +129,7 @@ def filter_entries(df: DataFrame, filters: Sequence[str]) -> DataFrame:
     * an arbitrary SQL boolean expression prefixed ``sql:`` — the
       typed-world escape hatch.
     """
-    from grove_spark.functions.paths import compile_expr, compile_predicate, truthy
-
-    drop = F.lit(False)
-    for f in filters:
-        if f.startswith("sql:"):
-            cond = F.expr(f[4:])
-        else:
-            cond = compile_predicate(df.schema, f)
-            if cond is None:
-                # bare expression: truthiness (covers contains(tags,'x'))
-                sub = compile_expr(df.schema, f)
-                cond = truthy(*sub) if sub is not None else F.lit(False)
-        drop = drop | F.coalesce(cond, F.lit(False))
-    return df.filter(~drop)
+    return df.filter(~filter_drop_condition(df.schema, filters))
 
 
 def filter_paths(df: DataFrame, paths: Sequence[str]) -> DataFrame:
@@ -260,6 +269,11 @@ def _redact_processor(df: DataFrame, cfg: Dict[str, Any]) -> DataFrame:
 
 
 _PROCESSORS["redact"] = _redact_processor
+
+# identity of the BUILT-IN filter_entries entry: the fleet's
+# predicate-compile fast path (config._filter_only_drop) must not fire
+# when a plugin re-registered the name with different semantics
+_BUILTIN_FILTER_ENTRIES = _PROCESSORS["filter_entries"]
 
 
 def register_processor(name: str, fn) -> None:

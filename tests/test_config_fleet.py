@@ -519,3 +519,83 @@ def test_unknown_state_keys_fail_loudly(spark):
     with pytest.raises(ValueError, match="match no fleet member"):
         assemble_fleet(spark, cfgs, seq, watermarks={"oops": "1"},
                        pointer_col="event_time")
+
+
+def test_filter_only_chain_compiles_to_predicate(spark, fixture_dir):
+    """r6: a chain made only of filter_entries must NOT create a union
+    arm — it rides the shared routing join as a row predicate — and the
+    row multiset must equal the branch form's."""
+    from grove_spark.config import ConnectorConfig, assemble_fleet
+    from grove_spark.operators import processors as procmod
+
+    seq = spark.read.parquet(fixture_dir["sequences"])
+    cfgs = [
+        ConnectorConfig.from_dict({
+            "connector": "a_audit", "identity": "a", "source": "okta",
+            "processors": [
+                {"processor": "filter_entries", "filters": ["sql:n_tok < 20"]}
+            ],
+        }),
+        ConnectorConfig.from_dict(
+            {"connector": "b_audit", "identity": "b", "source": "gsuite"}
+        ),
+    ]
+    routed = assemble_fleet(spark, cfgs, seq)
+    plan = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted"
+    )
+    assert "Union" not in plan  # single branch: predicate, not an arm
+    counts = {
+        (r["connector"], r["descriptor"]): r["count"]
+        for r in routed.groupBy("connector", "descriptor").count().collect()
+    }
+    n_okta = seq.where("source = 'okta'").count()
+    n_okta_kept = seq.where("source = 'okta' AND NOT n_tok < 20").count()
+    assert counts[("a_audit", "logs")] == n_okta
+    assert counts[("a_audit", "processed")] == n_okta_kept
+    n_gsuite = seq.where("source = 'gsuite'").count()
+    assert counts[("b_audit", "processed")] == n_gsuite
+
+    # a non-filter processor still branches (filter_paths reshapes the row)
+    cfgs2 = [
+        ConnectorConfig.from_dict({
+            "connector": "c_audit", "identity": "c", "source": "okta",
+            "processors": [{"processor": "filter_paths", "paths": ["raw"]}],
+        }),
+    ]
+    routed2 = assemble_fleet(spark, cfgs2, seq)
+    plan2 = routed2._sc._jvm.PythonSQLUtils.explainString(
+        routed2._jdf.queryExecution(), "formatted"
+    )
+    assert "Union" in plan2
+
+    # a registered override of filter_entries disables the fast path
+    orig = procmod._PROCESSORS["filter_entries"]
+    try:
+        procmod._PROCESSORS["filter_entries"] = (
+            lambda df, cfg: df.where("n_tok % 2 = 0")
+        )
+        routed3 = assemble_fleet(spark, [cfgs[0]], seq)
+        plan3 = routed3._sc._jvm.PythonSQLUtils.explainString(
+            routed3._jdf.queryExecution(), "formatted"
+        )
+        assert "Union" in plan3  # branch path, override honored
+        n_even = seq.where("source = 'okta' AND n_tok % 2 = 0").count()
+        assert routed3.where("descriptor = 'processed'").count() == n_even
+    finally:
+        procmod._PROCESSORS["filter_entries"] = orig
+
+    # a filter naming a routing-dim column keeps the branch form too
+    cfgs4 = [
+        ConnectorConfig.from_dict({
+            "connector": "d_audit", "identity": "d", "source": "okta",
+            "processors": [
+                {"processor": "filter_entries", "filters": ["sql:n_tok < 20 OR 'x' = 'stream'"]}
+            ],
+        }),
+    ]
+    routed4 = assemble_fleet(spark, cfgs4, seq)
+    plan4 = routed4._sc._jvm.PythonSQLUtils.explainString(
+        routed4._jdf.queryExecution(), "formatted"
+    )
+    assert "Union" in plan4
