@@ -265,7 +265,7 @@ def test_connected_components_nonconvergence_is_loud(spark):
         [(i, i + 1) for i in range(8)], "a int, b int"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, small_graph_max_edges=0)
     # with enough rounds the same chain converges to component 0
     labels = connected_components(chain, max_iter=10)
     assert {r["component"] for r in labels.collect()} == {0}

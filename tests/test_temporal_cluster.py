@@ -185,3 +185,31 @@ def test_asof_bucketed_window_partitions_on_bucket(spark):
         "in-bucket carry window does not partition on (key, bucket)"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_small_graph_union_find_matches_distributed(spark):
+    """r6 driver-side union-find must produce identical labels to the
+    distributed propagation loop, including string ids and chains."""
+    from grove_spark.operators.dedup_cluster import connected_components
+
+    cases = [
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+            "a long, b long",
+        ),
+        spark.createDataFrame(
+            [("kz", "ka"), ("ka", "km"), ("x1", "x2")], "a string, b string"
+        ),
+    ]
+    for pairs in cases:
+        fast = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        slow = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                pairs, small_graph_max_edges=0
+            ).collect()
+        }
+        assert fast == slow and fast
