@@ -32,7 +32,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 20,
     checkpoint_every: int = 3,
-    small_graph_max_edges: int = 500_000,
+    small_graph_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components of the undirected pair graph.
 
@@ -41,7 +41,8 @@ def connected_components(
     type with a total order; min() defines the canonical doc).
 
     Small graphs (r6): when the distinct edge list fits under
-    ``small_graph_max_edges`` and ids are int/string, the components
+    ``small_graph_max_edges`` (200k — a bounded driver frame even at a
+    larger driver scale factor) and ids are int/string, the components
     are computed driver-side with union-find — identical labels
     (Python int order and str order both match Spark's; UTF-8 byte
     order preserves code points) for 2-3 Spark jobs instead of
